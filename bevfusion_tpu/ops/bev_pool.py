@@ -1,0 +1,106 @@
+"""BEV pooling: sum frustum features that land in the same BEV cell.
+
+Reference semantics: mmdet3d/ops/bev_pool (CUDA interval segment-sum,
+src/bev_pool_cuda.cu:20-42, python wrapper bev_pool.py:83-97). The
+reference rank-sorts points by linearized voxel id and sums each
+interval with one CUDA thread.
+
+TPU-first design (static shapes, no scatter):
+- out-of-grid frustum points become a *mask* (sentinel segment), never a
+  dynamic-shape gather (reference filters with a boolean index,
+  vtransforms/base.py:163-166);
+- segment reduction = argsort by cell id + cumsum + prefix-difference at
+  segment boundaries found by searchsorted — the same "QuickCumsum"
+  trick as the reference's legacy path (ops/bev_pool/bev_pool.py:8-34),
+  fully vectorized on the VPU;
+- `lss_bev_pool` fuses the depth ⊗ context outer product into the pool:
+  the [Np, C] product is formed lazily inside the same XLA program so the
+  compiler can fuse the multiply into the sorted gather, instead of
+  materializing the [B, N, D, fH, fW, C] tensor up front.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["bev_pool", "lss_bev_pool"]
+
+
+def _sorted_segment_sum(vals, ids, num_segments):
+    """Segment-sum of vals [Np, C] by ids [Np] into [num_segments, C].
+
+    ids >= num_segments act as a dump bucket (masked-out points). Exact
+    per-segment sums would need a segmented scan; the cumsum-difference
+    here matches the numerics of the reference's QuickCumsum
+    (ops/bev_pool/bev_pool.py:8-34) and keeps everything a dense VPU op.
+    Accumulation is forced to fp32.
+    """
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    vals_s = jnp.take(vals, order, axis=0).astype(jnp.float32)
+    csum = jnp.cumsum(vals_s, axis=0)
+    seg_range = jnp.arange(num_segments, dtype=ids.dtype)
+    ends = jnp.searchsorted(ids_s, seg_range, side="right")
+    starts = jnp.searchsorted(ids_s, seg_range, side="left")
+    # prefix[i] = csum[i-1], prefix[0] = 0
+    zero = jnp.zeros((1, vals.shape[1]), jnp.float32)
+    prefix = jnp.concatenate([zero, csum], axis=0)
+    return jnp.take(prefix, ends, axis=0) - jnp.take(prefix, starts, axis=0)
+
+
+def bev_pool(feats, coords, valid, B, Z, X, Y):
+    """Reference-shaped API: feats [Np, C], coords [Np, 4] = (x, y, z, b).
+
+    Returns [B, Z, X, Y, C] (reference returns [B, C, Z, X, Y],
+    bev_pool.py:92-97; we are channels-last throughout).
+    """
+    x, y, z, b = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
+    num_cells = B * Z * X * Y
+    ids = ((b * Z + z) * X + x) * Y + y
+    ids = jnp.where(valid, ids, num_cells).astype(jnp.int32)
+    out = _sorted_segment_sum(feats, ids, num_cells)
+    return out.reshape(B, Z, X, Y, feats.shape[-1])
+
+
+def cell_ids_from_geometry(geom, dx, bx, nx):
+    """Quantize lidar-frame frustum points to BEV cell ids + valid mask.
+
+    geom [..., 3] float; dx/bx/nx are the gen_dx_bx constants. Matches
+    vtransforms/base.py:148-166: floor((p - (bx - dx/2)) / dx), then keep
+    0 <= c < nx per axis. Returns (cell_id within one sample's Z*X*Y grid,
+    valid). Cell id layout: ((z * X) + x) * Y + y.
+    """
+    c = jnp.floor((geom - (bx - dx / 2.0)) / dx).astype(jnp.int32)
+    cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+    X, Y, Z = int(nx[0]), int(nx[1]), int(nx[2])
+    valid = (
+        (cx >= 0) & (cx < X) & (cy >= 0) & (cy < Y) & (cz >= 0) & (cz < Z)
+    )
+    ids = (cz * X + cx) * Y + cy
+    return ids, valid
+
+
+def lss_bev_pool(depth, ctx, cell_ids, valid, Z, X, Y):
+    """Fused LSS pooling: pool(depth ⊗ context) without a host-visible
+    [B, N, D, fH, fW, C] intermediate.
+
+    depth:    [B, N, D, fH, fW]   softmax depth distribution
+    ctx:      [B, N, fH, fW, C]   per-pixel context features
+    cell_ids: [B, N, D, fH, fW]   int32 in [0, Z*X*Y)
+    valid:    same shape, bool
+    Returns [B, X, Y, Z*C] (z-major channel blocks, matching the
+    reference's z-unbind-and-concat, vtransforms/base.py:174).
+    """
+    B, N, D, fH, fW, = depth.shape
+    C = ctx.shape[-1]
+    num_cells = Z * X * Y
+
+    def pool_one(dep, cx, ids, val):
+        prod = (dep[..., None] * cx[:, None]).reshape(-1, C)
+        ids_f = jnp.where(val, ids, num_cells).reshape(-1).astype(jnp.int32)
+        out = _sorted_segment_sum(prod, ids_f, num_cells)
+        return out.reshape(Z, X, Y, C)
+
+    out = jax.vmap(pool_one)(depth, ctx, cell_ids, valid)  # [B, Z, X, Y, C]
+    # collapse Z into channels, z-major (base.py:174)
+    return out.transpose(0, 2, 3, 1, 4).reshape(B, X, Y, Z * C)
