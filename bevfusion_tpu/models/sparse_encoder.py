@@ -1,0 +1,233 @@
+"""SparseEncoder (VoxelNet middle encoder) on the TPU sparse-conv engine.
+
+Behavioral reference: mmdet3d/models/backbones/sparse_encoder.py:11-218 —
+SubMConv3d input conv, 4 stages (basicblock: 2 residual subm blocks +
+stride-2 SparseConv3d between stages), final (1,1,3)/(1,1,2) conv_out,
+then `.dense()` reshaped to an [B, X/8, Y/8, C*D] BEV map.
+
+TPU-first: active sites are sorted-id tables with static caps; subm
+rulebooks are built once per stage and shared by all convs in the stage
+(the reference's indice_key contract); everything vmaps over batch so
+the per-offset GEMMs run as batched MXU matmuls. BatchNorm is masked
+over active sites only (the reference's BN1d over the [N_active, C]
+feature matrix) and reduces over the *global* batch under pjit, which
+reproduces NaiveSyncBatchNorm semantics.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sparse_conv as sp
+from ..registry import BACKBONES
+
+Dtype = Any
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over active rows of [B, M, C] with validity mask [B, M].
+
+    Matches torch BN1d(momentum, eps) over the packed active-feature
+    matrix; padded rows are excluded from the moments and zeroed in the
+    output.
+    """
+
+    eps: float = 1e-3
+    momentum: float = 0.01  # torch convention
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, training: bool = False):
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if training:
+            m = mask[..., None].astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            xf = x.astype(jnp.float32) * m
+            mean = jnp.sum(xf, axis=(0, 1)) / cnt
+            var = jnp.sum((x.astype(jnp.float32) - mean) ** 2 * m, axis=(0, 1)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        y = jnp.where(mask[..., None], y, 0.0)
+        return y.astype(self.dtype)
+
+
+class _SubmConv(nn.Module):
+    """Batched submanifold conv using a shared rulebook [B, cap, K]."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Any = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr):
+        K = int(np.prod([*_as3(self.kernel_size)]))
+        w = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (K, self.in_channels, self.out_channels),
+        )
+        return jax.vmap(sp.subm_gather_gemm, in_axes=(0, 0, None))(
+            feats, nbr, w.astype(self.dtype)
+        )
+
+
+class _SparseConv(nn.Module):
+    """Batched regular sparse conv onto precomputed output sites."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Any = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr):
+        K = int(np.prod([*_as3(self.kernel_size)]))
+        w = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (K, self.in_channels, self.out_channels),
+        )
+        return jax.vmap(sp.subm_gather_gemm, in_axes=(0, 0, None))(
+            feats, nbr, w.astype(self.dtype)
+        )
+
+
+def _as3(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v, v)
+
+
+@BACKBONES.register()
+class SparseEncoder(nn.Module):
+    in_channels: int
+    sparse_shape: Sequence[int]  # (X, Y, Z) e.g. (1440, 1440, 41)
+    order: Sequence[str] = ("conv", "norm", "act")
+    norm_cfg: Optional[dict] = None
+    base_channels: int = 16
+    output_channels: int = 128
+    encoder_channels: Sequence[Sequence[int]] = ((16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
+    encoder_paddings: Sequence[Sequence[Any]] = ((1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
+    block_type: str = "conv_module"
+    site_cap_multiplier: float = 1.0  # output-site cap per downsample, x input cap
+    dtype: Dtype = jnp.float32
+
+    def _bn(self, name):
+        cfg = self.norm_cfg or {"type": "BN1d", "eps": 1e-3, "momentum": 0.01}
+        return MaskedBatchNorm(
+            eps=cfg.get("eps", 1e-3), momentum=cfg.get("momentum", 0.01),
+            dtype=self.dtype, name=name,
+        )
+
+    @nn.compact
+    def __call__(self, voxel_feats, coords, mask, training: bool = False):
+        """voxel_feats [B, M, C]; coords [B, M, 3] int (x, y, z) sorted
+        x-major per sample; mask [B, M]. Returns BEV map
+        [B, X/8, Y/8, output_channels * D_final] (NHWC)."""
+        assert self.block_type in ("conv_module", "basicblock")
+        grid = sp.SparseGrid(*[int(s) for s in self.sparse_shape])
+        B, M, _ = voxel_feats.shape
+
+        ids = jax.vmap(lambda c, m: sp.lin_ids(c, grid, m))(coords, mask)
+        feats = jnp.where(mask[..., None], voxel_feats, 0.0).astype(self.dtype)
+
+        def subm_rb(ids_, g):
+            return jax.vmap(lambda i: sp.build_subm_rulebook(i, g, 3))(ids_)
+
+        # conv_input (sparse_encoder.py:63-85): subm k3 p1 + BN + ReLU
+        nbr = subm_rb(ids, grid)
+        feats = _SubmConv(self.in_channels, self.base_channels, 3,
+                          dtype=self.dtype, name="conv_input")(feats, nbr)
+        feats = self._bn("bn_input")(feats, mask, training)
+        feats = nn.relu(feats)
+
+        in_ch = self.base_channels
+        n_stages = len(self.encoder_channels)
+        cap = M
+
+        for i, blocks in enumerate(self.encoder_channels):
+            for j, out_ch in enumerate(tuple(blocks)):
+                padding = tuple(self.encoder_paddings[i])[j]
+                is_strided = (
+                    (self.block_type == "conv_module" and i != 0 and j == 0)
+                    or (
+                        self.block_type == "basicblock"
+                        and j == len(blocks) - 1
+                        and i != n_stages - 1
+                    )
+                )
+                name = f"stage{i}_block{j}"
+                if is_strided:
+                    cap_out = max(1, int(cap * self.site_cap_multiplier))
+                    out_grid = sp.conv_out_shape(grid, 3, 2, padding)
+                    g_in = grid
+                    out_ids, out_mask = jax.vmap(
+                        lambda i_: sp.downsample_sites(i_, g_in, 3, 2, padding, cap_out)
+                    )(ids)
+                    cnbr = jax.vmap(
+                        lambda oi, ii: sp.build_conv_rulebook(
+                            ii, oi, grid, out_grid, 3, 2, padding
+                        ),
+                        in_axes=(0, 0),
+                    )(out_ids, ids)
+                    feats = _SparseConv(in_ch, out_ch, 3, dtype=self.dtype,
+                                        name=f"{name}_spconv")(feats, cnbr)
+                    ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
+                    feats = self._bn(f"{name}_bn")(feats, mask, training)
+                    feats = nn.relu(feats)
+                    nbr = subm_rb(ids, grid)
+                elif self.block_type == "basicblock":
+                    # SparseBasicBlock (ops/sparse_block.py): two subm
+                    # convs + BN with residual
+                    identity = feats
+                    y = _SubmConv(in_ch, out_ch, 3, dtype=self.dtype,
+                                  name=f"{name}_conv1")(feats, nbr)
+                    y = self._bn(f"{name}_bn1")(y, mask, training)
+                    y = nn.relu(y)
+                    y = _SubmConv(out_ch, out_ch, 3, dtype=self.dtype,
+                                  name=f"{name}_conv2")(y, nbr)
+                    y = self._bn(f"{name}_bn2")(y, mask, training)
+                    feats = nn.relu(y + identity)
+                    feats = jnp.where(mask[..., None], feats, 0.0)
+                else:
+                    y = _SubmConv(in_ch, out_ch, 3, dtype=self.dtype,
+                                  name=f"{name}_conv")(feats, nbr)
+                    y = self._bn(f"{name}_bn")(y, mask, training)
+                    feats = nn.relu(y)
+                in_ch = out_ch
+
+        # conv_out (sparse_encoder.py:87-97): SparseConv3d (1,1,3)/(1,1,2)
+        k_out, s_out, p_out = (1, 1, 3), (1, 1, 2), 0
+        out_grid = sp.conv_out_shape(grid, k_out, s_out, p_out)
+        g_fin = grid
+        out_ids, out_mask = jax.vmap(
+            lambda i_: sp.downsample_sites(i_, g_fin, k_out, s_out, p_out, cap)
+        )(ids)
+        cnbr = jax.vmap(
+            lambda oi, ii: sp.build_conv_rulebook(ii, oi, grid, out_grid, k_out, s_out, p_out)
+        )(out_ids, ids)
+        feats = _SparseConv(in_ch, self.output_channels, k_out,
+                            dtype=self.dtype, name="conv_out")(feats, cnbr)
+        mask, ids, grid = out_mask, out_ids, out_grid
+        feats = self._bn("bn_out")(feats, mask, training)
+        feats = nn.relu(feats)
+
+        # dense: [B, X, Y, Z, C] -> [B, X, Y, C*Z] (channel = c*Z + z,
+        # matching the reference's permute+view, sparse_encoder.py:126-131)
+        dense = jax.vmap(lambda f, i, m: sp.to_dense(f, i, m, grid))(feats, ids, mask)
+        B_, X, Y, Z, C = dense.shape
+        return dense.transpose(0, 1, 2, 4, 3).reshape(B_, X, Y, C * Z)

@@ -1,10 +1,16 @@
 """Point-cloud voxelization with static shapes.
 
 Reference semantics: hard voxelization (mmdet3d/ops/voxel/voxelize.py:10-148
-+ src/voxelization_cuda.cu): points -> per-voxel groups of at most
++ src/voxelization_cuda.cu:25-46): points -> per-voxel groups of at most
 ``max_points`` points (extras dropped in arrival order), at most
-``max_voxels`` voxels, int coords in (z, y, x) order; BEVFusion then
+``max_voxels`` voxels, int coords in (x, y, z) order (this fork's CUDA
+writes c_x, c_y, c_z — voxelization_cuda.cu:36-59); BEVFusion then
 mean-reduces each voxel (fusion_models/bevfusion.py:171-197).
+
+Voxels are emitted sorted by x-major linearized id ((x*ny + y)*nz + z),
+which is exactly the active-site order the sparse encoder's
+searchsorted rulebooks need — the voxelizer output feeds sparse convs
+with no re-sort.
 
 TPU-first redesign: the reference's per-sample Python loop + CUDA hash
 becomes one jitted program per batch:
@@ -33,7 +39,7 @@ __all__ = ["VoxelizationOutput", "voxelize", "voxelize_batch", "Voxelization"]
 
 class VoxelizationOutput(NamedTuple):
     feats: jnp.ndarray  # [M, max_points, C] or mean-reduced [M, C]
-    coords: jnp.ndarray  # [M, 3] int32 (z, y, x); invalid rows = -1
+    coords: jnp.ndarray  # [M, 3] int32 (x, y, z); invalid rows = -1
     num_points: jnp.ndarray  # [M] int32 (stored points per voxel)
     mask: jnp.ndarray  # [M] bool
 
@@ -73,7 +79,7 @@ def voxelize(
         (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny) & (cz >= 0) & (cz < nz)
     )
     pvalid = in_range & points_mask
-    ids = (cz * ny + cy) * nx + cx
+    ids = (cx * ny + cy) * nz + cz  # x-major: sparse-encoder site order
     ids = jnp.where(pvalid, ids, num_cells)
 
     order = jnp.argsort(ids, stable=True)
@@ -95,10 +101,10 @@ def voxelize(
     vmask = (count > 0) & (vox_ids < num_cells)
     stored = jnp.where(vmask, jnp.minimum(count, max_points), 0)
 
-    vz = vox_ids // (nx * ny)
-    vy = (vox_ids // nx) % ny
-    vx = vox_ids % nx
-    coords = jnp.stack([vz, vy, vx], axis=-1).astype(jnp.int32)
+    vx = vox_ids // (ny * nz)
+    vy = (vox_ids // nz) % ny
+    vz = vox_ids % nz
+    coords = jnp.stack([vx, vy, vz], axis=-1).astype(jnp.int32)
     coords = jnp.where(vmask[:, None], coords, -1)
 
     if reduce == "mean":
@@ -147,7 +153,7 @@ def voxelize_batch(
     """Batched voxelization -> flat voxel list with batch coords.
 
     points [B, P, C], points_mask [B, P]. Returns
-    (feats [B*M, C?], coords [B*M, 4] int32 (b, z, y, x), num_points,
+    (feats [B*M, C?], coords [B*M, 4] int32 (b, x, y, z), num_points,
     mask) — the layout the sparse encoder consumes (reference pads the
     batch index into coords, bevfusion.py:181).
     """

@@ -7,6 +7,7 @@ map and ``build`` instantiates flax modules (dataclass-style kwargs).
 """
 from __future__ import annotations
 
+from collections.abc import Mapping
 from typing import Any, Callable, Dict, Optional
 
 
@@ -43,8 +44,8 @@ class Registry:
         """Instantiate ``cfg['type']`` with the remaining keys as kwargs."""
         if cfg is None:
             return None
-        if not isinstance(cfg, dict):
-            raise TypeError(f"cfg must be a dict, got {type(cfg)}")
+        if not isinstance(cfg, Mapping):  # flax wraps dict attrs in FrozenDict
+            raise TypeError(f"cfg must be a mapping, got {type(cfg)}")
         cfg = dict(cfg)
         type_name = cfg.pop("type")
         cls = self.get(type_name)

@@ -1,15 +1,22 @@
-"""Test env: force CPU with 8 virtual devices so sharding tests run
-anywhere (SURVEY.md §4: multi-device CPU simulation via
-xla_force_host_platform_device_count)."""
+"""Test env: force CPU backend.
+
+NOTE: we deliberately do NOT set
+--xla_force_host_platform_device_count=8 globally — with 8 virtual CPU
+devices XLA CPU compilation/dispatch of our larger graphs slows down by
+~50x (observed: 13s -> >9min for the CenterHead test). Sharding tests
+spawn a subprocess with the flag instead (see test_parallel.py).
+"""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the big fused-model graphs take minutes to
+# compile on CPU XLA; cache them across pytest runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# jax 0.9's DEFAULT matmul precision emulates bf16 even on CPU; tests
+# compare against fp32 numpy oracles, so force exact fp32 matmuls here.
+jax.config.update("jax_default_matmul_precision", "highest")

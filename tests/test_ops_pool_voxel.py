@@ -92,10 +92,10 @@ def _np_voxelize_mean(points, mask, vs, pcr, max_points, max_voxels):
         c = np.floor((p[:3] - pcr[:3]) / vs).astype(int)
         if not (0 <= c[0] < nx and 0 <= c[1] < ny and 0 <= c[2] < nz):
             continue
-        key = (c[2], c[1], c[0])
+        key = (c[0], c[1], c[2])  # (x, y, z)
         buckets.setdefault(key, []).append(p)
-    # keep smallest linear ids (our documented drop rule)
-    keys = sorted(buckets, key=lambda k: (k[0] * ny + k[1]) * nx + k[2])[:max_voxels]
+    # keep smallest x-major linear ids (our documented drop rule)
+    keys = sorted(buckets, key=lambda k: (k[0] * ny + k[1]) * nz + k[2])[:max_voxels]
     feats, coords, counts = [], [], []
     for k in keys:
         pts = buckets[k][:max_points]

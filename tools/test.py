@@ -1,0 +1,81 @@
+"""Evaluation CLI.
+
+Behavioral reference: tools/test.py (build test dataset + checkpoint,
+run model, dataset.evaluate with --eval bbox|map). Predictions come out
+of one jitted program as fixed-shape masked arrays and are converted to
+per-sample lists on the host.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--eval", default="bbox", choices=["bbox", "map"])
+    ap.add_argument("--out-dir", default="runs/eval")
+    ap.add_argument("opts", nargs="*")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bevfusion_tpu.config import load_config
+    from bevfusion_tpu.data import DataLoader, build_dataset
+    from bevfusion_tpu.models import build_model
+    from bevfusion_tpu.runtime.checkpoint import restore_checkpoint
+
+    cfg = load_config(args.config)
+    model = build_model(cfg.model)
+    dataset = build_dataset(cfg.data.test)
+    loader = DataLoader(dataset, batch_size=1, shuffle=False, num_workers=2,
+                        drop_last=False)
+
+    state = restore_checkpoint(args.checkpoint)
+    variables = {
+        "params": state["params"] if "params" in state else state,
+        "batch_stats": state.get("batch_stats", {}),
+    }
+
+    @jax.jit
+    def infer(batch):
+        out, _ = model.apply(variables, batch, training=False,
+                             mutable=["batch_stats"])
+        return out
+
+    results = []
+    for np_batch in loader:
+        gt_masks = np_batch.pop("gt_masks_bev", None)
+        np_batch.pop("metas", None)
+        batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+        out = jax.device_get(infer(batch))
+        B = next(iter(batch.values())).shape[0]
+        for b in range(B):
+            res = {}
+            if "boxes" in out:
+                m = out["boxes"]["mask"][b]
+                res["boxes_3d"] = out["boxes"]["bboxes"][b][m]
+                res["scores_3d"] = out["boxes"]["scores"][b][m]
+                res["labels_3d"] = out["boxes"]["labels"][b][m]
+            if "masks_bev" in out:
+                res["masks_bev"] = out["masks_bev"][b].transpose(2, 0, 1)
+                if gt_masks is not None:
+                    res["gt_masks_bev"] = gt_masks[b]
+            results.append(res)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.eval == "map":
+        metrics = dataset.evaluate_map(results)
+    else:
+        metrics = dataset.evaluate_detection(results, args.out_dir)
+    for k, v in metrics.items():
+        print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()
