@@ -17,6 +17,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # cache compiled programs across runs (full-model TPU compile is slow)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from bevfusion_tpu.runtime.flagship import build_flagship
 
     cfg, model, batch = build_flagship(batch_size=1, dtype=jnp.bfloat16,
@@ -29,20 +35,26 @@ def main():
     def infer(vars_, batch_):
         out, _ = model.apply(vars_, batch_, training=False,
                              mutable=["batch_stats"])
-        return out["boxes"]
+        boxes = out["boxes"]
+        # scalar checksum: fetching it forces the whole program to finish
+        # (on the tunneled axon platform block_until_ready alone does not
+        # synchronize with device execution)
+        chk = (jnp.sum(boxes["scores"]) +
+               jnp.sum(boxes["mask"].astype(jnp.float32)))
+        return boxes, chk
+
+    import numpy as np
 
     # warmup (compile + 5 runs, like the reference's warmup 5)
-    out = infer(variables, batch)
-    jax.block_until_ready(out)
     for _ in range(5):
-        out = infer(variables, batch)
-    jax.block_until_ready(out)
+        out, chk = infer(variables, batch)
+    float(np.asarray(chk))
 
-    iters = 20
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(variables, batch)
-    jax.block_until_ready(out)
+        out, chk = infer(variables, batch)
+    float(np.asarray(chk))  # one sync at the end; device runs serialize
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 

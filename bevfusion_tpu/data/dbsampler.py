@@ -144,7 +144,9 @@ class ObjectPaste:
             np.concatenate([boxes.tensor, sampled["gt_bboxes_3d"]]), boxes.box_dim
         )
         pts: LiDARPoints = data["points"]
-        inside = points_in_rbbox(pts.coord, sampled["gt_bboxes_3d"][:, :7])
+        from .. import native
+
+        inside = native.points_in_rbbox(pts.coord, sampled["gt_bboxes_3d"][:, :7])
         pts = pts[~inside.any(-1)]
         spts = sampled["points"]
         if spts.shape[1] < pts.points_dim:

@@ -115,12 +115,14 @@ class LoadPointsFromMultiSweeps:
                 pts = pts[:, self.use_dim] if len(self.use_dim) != pts.shape[1] else pts
                 if self.remove_close:
                     pts = self._remove_close(pts)
-                r = np.asarray(sweep["sensor2lidar_rotation"], np.float32)
-                t = np.asarray(sweep["sensor2lidar_translation"], np.float32)
-                pts = pts.copy()
-                pts[:, :3] = pts[:, :3] @ r.T + t
-                if pts.shape[1] >= 5:
-                    pts[:, 4] = ts - sweep["timestamp"] / 1e6
+                from .. import native
+
+                pts = native.transform_sweep_points(
+                    pts,
+                    np.asarray(sweep["sensor2lidar_rotation"], np.float32),
+                    np.asarray(sweep["sensor2lidar_translation"], np.float32),
+                    float(ts - sweep["timestamp"] / 1e6),
+                )
                 clouds.append(pts)
         data["points"] = LiDARPoints(np.concatenate(clouds, 0), points.shape[1])
         return data

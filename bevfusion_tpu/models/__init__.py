@@ -10,6 +10,10 @@ from . import vtransforms  # noqa: F401
 from .heads import centerpoint  # noqa: F401
 from .heads import segm  # noqa: F401
 from .heads import transfusion  # noqa: F401
+from . import bevdepth  # noqa: F401
+from . import dla  # noqa: F401
+from . import radar_encoder  # noqa: F401
+from . import vovnet  # noqa: F401
 from . import bevfusion  # noqa: F401
 
 from ..registry import FUSIONMODELS

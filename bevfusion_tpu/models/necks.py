@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..registry import NECKS
@@ -59,6 +60,49 @@ class GeneralizedLSSFPN(nn.Module):
             )(x, training)
             laterals[i] = x
         return tuple(laterals[:used])
+
+
+@NECKS.register()
+class DetectronFPN(nn.Module):
+    """Detectron2-style FPN (reference necks/detectron_fpn.py:18-137):
+    1x1 laterals + nearest-neighbor top-down sum (or avg) + 3x3 output
+    convs; out_indices select the emitted pyramid levels."""
+
+    in_indices: Sequence[int]
+    out_indices: Sequence[int]
+    in_channels: Sequence[int]
+    out_channels: int
+    start_level: int = 0
+    fuse_type: str = "sum"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, training: bool = False):
+        n = len(self.in_channels)
+        feats = [inputs[i] for i in self.in_indices]
+        # top-down, lowest resolution first
+        prev = ConvBNAct(self.out_channels, 1, 1, 0, use_bias=False,
+                         norm="BN", act=None, dtype=self.dtype,
+                         name=f"lateral{n - 1}")(feats[-1], training)
+        results = [ConvBNAct(self.out_channels, 3, 1, 1, use_bias=False,
+                             norm="BN", act=None, dtype=self.dtype,
+                             name=f"output{n - 1}")(prev, training)]
+        for k in range(n - 2, -1, -1):
+            H, W = feats[k].shape[-3], feats[k].shape[-2]
+            up = jax.image.resize(
+                prev, prev.shape[:-3] + (H, W, prev.shape[-1]), method="nearest"
+            )
+            lat = ConvBNAct(self.out_channels, 1, 1, 0, use_bias=False,
+                            norm="BN", act=None, dtype=self.dtype,
+                            name=f"lateral{k}")(feats[k], training)
+            prev = lat + up
+            if self.fuse_type == "avg":
+                prev = prev / 2
+            results.insert(0, ConvBNAct(self.out_channels, 3, 1, 1,
+                                        use_bias=False, norm="BN", act=None,
+                                        dtype=self.dtype,
+                                        name=f"output{k}")(prev, training))
+        return [results[i] for i in sorted(self.out_indices)]
 
 
 @NECKS.register()

@@ -109,52 +109,126 @@ def sorted_unique(ids, cap: int, sentinel: int):
     return uids.astype(jnp.int32), mask
 
 
+class ColumnTable(NamedTuple):
+    """O(1) active-site lookup structure (replaces both the reference's
+    GPU hash grid, spconv_ops.h:28-258, and binary search).
+
+    Sites are sorted by x-major id = (x*Y + y)*Z + z, i.e. grouped into
+    (x, y) *columns* with ascending z. Since Z <= 64 for every stage of
+    the encoder, each column's z-occupancy fits one 64-bit mask (stored
+    as two uint32 lanes). A site lookup is then 3 gathers + popcount:
+        row = start[col] + popcount(bits below z);  present = bit z.
+    """
+
+    lo: jnp.ndarray  # [X*Y] uint32, z bits 0..31
+    hi: jnp.ndarray  # [X*Y] uint32, z bits 32..63
+    start: jnp.ndarray  # [X*Y] int32, first row of the column
+
+
+def build_column_table(ids, grid: SparseGrid) -> ColumnTable:
+    """ids: [cap] sorted site ids (sentinel = grid.size for padding)."""
+    assert grid.Z <= 64, "column bitmask lookup requires Z <= 64"
+    XY = grid.X * grid.Y
+    valid = ids < grid.size
+    col = jnp.where(valid, ids // grid.Z, XY)
+    z = jnp.where(valid, ids % grid.Z, 0)
+    lo_bit = jnp.where(valid & (z < 32), jnp.uint32(1) << z.astype(jnp.uint32), 0)
+    hi_bit = jnp.where(
+        valid & (z >= 32), jnp.uint32(1) << jnp.maximum(z - 32, 0).astype(jnp.uint32), 0
+    )
+    # per-column z bits are unique -> sum == bitwise or
+    lo = jax.ops.segment_sum(lo_bit, col, num_segments=XY + 1)[:XY].astype(jnp.uint32)
+    hi = jax.ops.segment_sum(hi_bit, col, num_segments=XY + 1)[:XY].astype(jnp.uint32)
+    counts = jax.lax.population_count(lo) + jax.lax.population_count(hi)
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts.astype(jnp.int32))[:-1]]
+    )
+    return ColumnTable(lo, hi, start)
+
+
+def _rank_below(lo, hi, z):
+    """Number of set bits strictly below z in a (lo, hi) column mask."""
+    zlo = jnp.clip(z, 0, 31).astype(jnp.uint32)  # safe shift amounts
+    mask_lo = jnp.where(
+        z < 32,
+        (jnp.uint32(1) << zlo) - jnp.uint32(1),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    zhi = jnp.clip(z - 32, 0, 31).astype(jnp.uint32)
+    mask_hi = (jnp.uint32(1) << zhi) - jnp.uint32(1)  # 0 when z <= 32
+    return (
+        jax.lax.population_count(lo & mask_lo)
+        + jax.lax.population_count(hi & mask_hi)
+    ).astype(jnp.int32)
+
+
+def _present(lo, hi, z):
+    zc = jnp.clip(z, 0, 31).astype(jnp.uint32)
+    zh = jnp.clip(z - 32, 0, 31).astype(jnp.uint32)
+    in_lo = ((lo >> zc) & jnp.uint32(1)).astype(jnp.bool_)
+    in_hi = ((hi >> zh) & jnp.uint32(1)).astype(jnp.bool_)
+    return jnp.where(z < 32, in_lo, in_hi)
+
+
+def _lookup(ids, nx_, ny_, nz_, ok, grid: SparseGrid, table: ColumnTable = None):
+    """Vectorized O(1) lookup of neighbor coords (any shape) -> row or -1."""
+    if table is None:
+        table = build_column_table(ids, grid)
+    XY = grid.X * grid.Y
+    col = jnp.clip(nx_ * grid.Y + ny_, 0, XY - 1)
+    lo = jnp.take(table.lo, col)
+    hi = jnp.take(table.hi, col)
+    st = jnp.take(table.start, col)
+    present = _present(lo, hi, nz_) & ok
+    row = st + _rank_below(lo, hi, nz_)
+    return jnp.where(present, row, -1).astype(jnp.int32)
+
+
 def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3):
     """Neighbor gather table for submanifold conv.
 
     ids: [cap] sorted active-site ids (sentinel-padded). Returns
     nbr [cap, K] int32 indices into ids (-1 on miss), reused by every
-    subm conv sharing the indice_key (spconv conv.py:152-179).
+    subm conv sharing the indice_key (spconv conv.py:152-179). All K
+    offsets are looked up with ONE vectorized binary search.
     """
     kx, ky, kz = _triple(kernel_size)
-    offs = kernel_offsets((kx, ky, kz))
-    px, py, pz = (kx - 1) // 2, (ky - 1) // 2, (kz - 1) // 2
+    offs = jnp.asarray(kernel_offsets((kx, ky, kz)))  # [K, 3]
+    pad = jnp.asarray([(kx - 1) // 2, (ky - 1) // 2, (kz - 1) // 2])
+    d = offs - pad  # [K, 3]
     x, y, z = unlin_ids(ids, grid)
-    cols = []
-    for k in range(offs.shape[0]):
-        dx, dy, dz = int(offs[k, 0]) - px, int(offs[k, 1]) - py, int(offs[k, 2]) - pz
-        nx_, ny_, nz_ = x + dx, y + dy, z + dz
-        ok = (
-            (nx_ >= 0) & (nx_ < grid.X)
-            & (ny_ >= 0) & (ny_ < grid.Y)
-            & (nz_ >= 0) & (nz_ < grid.Z)
-            & (ids < grid.size)
-        )
-        nid = (nx_ * grid.Y + ny_) * grid.Z + nz_
-        j = jnp.searchsorted(ids, nid)
-        j = jnp.minimum(j, ids.shape[0] - 1)
-        hit = ok & (jnp.take(ids, j) == nid)
-        cols.append(jnp.where(hit, j, -1))
-    return jnp.stack(cols, axis=1).astype(jnp.int32)
+    nx_ = x[:, None] + d[None, :, 0]
+    ny_ = y[:, None] + d[None, :, 1]
+    nz_ = z[:, None] + d[None, :, 2]
+    ok = (
+        (nx_ >= 0) & (nx_ < grid.X)
+        & (ny_ >= 0) & (ny_ < grid.Y)
+        & (nz_ >= 0) & (nz_ < grid.Z)
+        & (ids < grid.size)[:, None]
+    )
+    return _lookup(ids, nx_, ny_, nz_, ok, grid)
 
 
 def subm_gather_gemm(feats, nbr, weight):
     """Gather-GEMM conv: feats [cap_in, Cin], nbr [cap_out, K] (indices
     into feats, -1 on miss), weight [K, Cin, Cout] -> [cap_out, Cout].
 
-    K gathers + K matmuls, masked on miss — the TPU form of the
-    reference's gather-GEMM-scatter (spconv_ops.h:319-356); no scatter
-    is needed because each output row owns its accumulation. Used for
-    both submanifold (cap_out == cap_in) and regular strided convs.
+    K gathers + K MXU matmuls via lax.scan over the kernel offsets — the
+    TPU form of the reference's gather-GEMM-scatter
+    (spconv_ops.h:319-356); no scatter is needed because each output row
+    owns its accumulation. Used for both submanifold (cap_out == cap_in)
+    and regular strided convs. scan keeps the HLO size O(1) in K.
     """
-    K = nbr.shape[1]
     Cout = weight.shape[-1]
-    out = jnp.zeros((nbr.shape[0], Cout), dtype=jnp.float32)
-    for k in range(K):
-        idx = nbr[:, k]
+
+    def step(acc, kw):
+        idx, w = kw
         g = jnp.take(feats, jnp.maximum(idx, 0), axis=0)
         g = jnp.where((idx >= 0)[:, None], g, 0.0)
-        out = out + jnp.dot(g, weight[k], preferred_element_type=jnp.float32)
+        return acc + jnp.dot(g, w, preferred_element_type=jnp.float32), None
+
+    init = jnp.zeros((nbr.shape[0], Cout), jnp.float32)
+    out, _ = jax.lax.scan(step, init, (nbr.T, weight))
     return out.astype(feats.dtype)
 
 
@@ -219,28 +293,22 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
 
     For output site o and offset k the unique input coord is
     o*s - p + off_k; returns nbr [cap_out, K] int32 into in_ids (-1 miss).
+    One vectorized binary search covers all K offsets.
     """
     k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
-    offs = kernel_offsets(kernel_size)
+    offs = jnp.asarray(kernel_offsets(kernel_size))  # [K, 3]
     ox, oy, oz = unlin_ids(out_ids, out_grid)
     out_valid = out_ids < out_grid.size
-    cols = []
-    for kk in range(offs.shape[0]):
-        ix = ox * s[0] - p[0] + int(offs[kk, 0])
-        iy = oy * s[1] - p[1] + int(offs[kk, 1])
-        iz = oz * s[2] - p[2] + int(offs[kk, 2])
-        ok = (
-            (ix >= 0) & (ix < grid.X)
-            & (iy >= 0) & (iy < grid.Y)
-            & (iz >= 0) & (iz < grid.Z)
-            & out_valid
-        )
-        nid = (ix * grid.Y + iy) * grid.Z + iz
-        j = jnp.searchsorted(in_ids, nid)
-        j = jnp.minimum(j, in_ids.shape[0] - 1)
-        hit = ok & (jnp.take(in_ids, j) == nid)
-        cols.append(jnp.where(hit, j, -1))
-    return jnp.stack(cols, axis=1).astype(jnp.int32)
+    ix = ox[:, None] * s[0] - p[0] + offs[None, :, 0]
+    iy = oy[:, None] * s[1] - p[1] + offs[None, :, 1]
+    iz = oz[:, None] * s[2] - p[2] + offs[None, :, 2]
+    ok = (
+        (ix >= 0) & (ix < grid.X)
+        & (iy >= 0) & (iy < grid.Y)
+        & (iz >= 0) & (iz < grid.Z)
+        & out_valid[:, None]
+    )
+    return _lookup(in_ids, ix, iy, iz, ok, grid)
 
 
 def to_dense(feats, ids, mask, grid: SparseGrid):
