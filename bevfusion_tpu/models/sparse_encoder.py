@@ -66,8 +66,9 @@ class MaskedBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
-class _SubmConv(nn.Module):
-    """Batched submanifold conv using a shared rulebook [B, cap, K]."""
+class _SparseConvNd(nn.Module):
+    """Batched gather-GEMM conv over a shared window rulebook (both
+    submanifold and strided paths; kz == 3 always holds here)."""
 
     in_channels: int
     out_channels: int
@@ -75,7 +76,7 @@ class _SubmConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, nbr):
+    def __call__(self, feats, rb):
         K = int(np.prod([*_as3(self.kernel_size)]))
         w = self.param(
             "weight",
@@ -83,29 +84,12 @@ class _SubmConv(nn.Module):
             (K, self.in_channels, self.out_channels),
         )
         return jax.vmap(sp.subm_gather_gemm, in_axes=(0, 0, None))(
-            feats, nbr, w.astype(self.dtype)
+            feats, rb, w.astype(self.dtype)
         )
 
 
-class _SparseConv(nn.Module):
-    """Batched regular sparse conv onto precomputed output sites."""
-
-    in_channels: int
-    out_channels: int
-    kernel_size: Any = 3
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, feats, nbr):
-        K = int(np.prod([*_as3(self.kernel_size)]))
-        w = self.param(
-            "weight",
-            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (K, self.in_channels, self.out_channels),
-        )
-        return jax.vmap(sp.subm_gather_gemm, in_axes=(0, 0, None))(
-            feats, nbr, w.astype(self.dtype)
-        )
+_SubmConv = _SparseConvNd
+_SparseConv = _SparseConvNd
 
 
 def _as3(v):
@@ -124,6 +108,11 @@ class SparseEncoder(nn.Module):
     encoder_paddings: Sequence[Sequence[Any]] = ((1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
     block_type: str = "conv_module"
     site_cap_multiplier: float = 1.0  # output-site cap per downsample, x input cap
+    # explicit per-downsample output-site caps (overrides the multiplier;
+    # one entry per strided conv in order, the last also caps conv_out).
+    # Active sites beyond the cap are dropped smallest-id-last, like the
+    # voxelizer's overflow rule.
+    site_caps: Optional[Sequence[int]] = None
     dtype: Dtype = jnp.float32
 
     def _bn(self, name):
@@ -158,6 +147,7 @@ class SparseEncoder(nn.Module):
         in_ch = self.base_channels
         n_stages = len(self.encoder_channels)
         cap = M
+        n_down = 0
 
         for i, blocks in enumerate(self.encoder_channels):
             for j, out_ch in enumerate(tuple(blocks)):
@@ -172,7 +162,11 @@ class SparseEncoder(nn.Module):
                 )
                 name = f"stage{i}_block{j}"
                 if is_strided:
-                    cap_out = max(1, int(cap * self.site_cap_multiplier))
+                    if self.site_caps is not None and n_down < len(self.site_caps):
+                        cap_out = int(self.site_caps[n_down])
+                    else:
+                        cap_out = max(1, int(cap * self.site_cap_multiplier))
+                    n_down += 1
                     out_grid = sp.conv_out_shape(grid, 3, 2, padding)
                     g_in = grid
                     out_ids, out_mask = jax.vmap(
@@ -180,7 +174,7 @@ class SparseEncoder(nn.Module):
                     )(ids)
                     cnbr = jax.vmap(
                         lambda oi, ii: sp.build_conv_rulebook(
-                            ii, oi, grid, out_grid, 3, 2, padding
+                            ii, oi, g_in, out_grid, 3, 2, padding
                         ),
                         in_axes=(0, 0),
                     )(out_ids, ids)
@@ -218,7 +212,8 @@ class SparseEncoder(nn.Module):
             lambda i_: sp.downsample_sites(i_, g_fin, k_out, s_out, p_out, cap)
         )(ids)
         cnbr = jax.vmap(
-            lambda oi, ii: sp.build_conv_rulebook(ii, oi, grid, out_grid, k_out, s_out, p_out)
+            lambda oi, ii: sp.build_conv_rulebook(
+                ii, oi, g_fin, out_grid, k_out, s_out, p_out)
         )(out_ids, ids)
         feats = _SparseConv(in_ch, self.output_channels, k_out,
                             dtype=self.dtype, name="conv_out")(feats, cnbr)

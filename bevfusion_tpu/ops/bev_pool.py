@@ -33,16 +33,31 @@ def _sorted_segment_sum(vals, ids, num_segments):
     per-segment sums would need a segmented scan; the cumsum-difference
     here matches the numerics of the reference's QuickCumsum
     (ops/bev_pool/bev_pool.py:8-34) and keeps everything a dense VPU op.
+    Segment boundaries are found by scattering the sorted run heads and
+    tails (unique indices — the fast scatter path; no binary search).
     Accumulation is forced to fp32.
     """
+    Np = ids.shape[0]
     order = jnp.argsort(ids)
     ids_s = ids[order]
     vals_s = jnp.take(vals, order, axis=0).astype(jnp.float32)
     csum = jnp.cumsum(vals_s, axis=0)
-    seg_range = jnp.arange(num_segments, dtype=ids.dtype)
-    ends = jnp.searchsorted(ids_s, seg_range, side="right")
-    starts = jnp.searchsorted(ids_s, seg_range, side="left")
-    # prefix[i] = csum[i-1], prefix[0] = 0
+
+    pos = jnp.arange(Np, dtype=jnp.int32)
+    head = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    tail = jnp.concatenate([ids_s[:-1] != ids_s[1:], jnp.ones((1,), bool)])
+    in_range = ids_s < num_segments
+    starts = (
+        jnp.zeros((num_segments + 1,), jnp.int32)
+        .at[jnp.where(head & in_range, ids_s, num_segments)]
+        .set(pos, mode="drop", unique_indices=True)[:num_segments]
+    )
+    ends = (
+        jnp.zeros((num_segments + 1,), jnp.int32)
+        .at[jnp.where(tail & in_range, ids_s, num_segments)]
+        .set(pos + 1, mode="drop", unique_indices=True)[:num_segments]
+    )
+    # prefix[i] = csum[i-1], prefix[0] = 0; empty cells have start==end==0
     zero = jnp.zeros((1, vals.shape[1]), jnp.float32)
     prefix = jnp.concatenate([zero, csum], axis=0)
     return jnp.take(prefix, ends, axis=0) - jnp.take(prefix, starts, axis=0)

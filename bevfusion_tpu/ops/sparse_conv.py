@@ -95,18 +95,19 @@ def sorted_unique(ids, cap: int, sentinel: int):
 
     ids >= sentinel count as padding. When there are more than ``cap``
     unique ids the smallest survive (same drop rule as the voxelizer).
+    Compaction scatters run heads by their unique-rank (no search).
     """
+    N = ids.shape[0]
     ids_s = jnp.sort(ids)
-    head = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (ids_s[1:] != ids_s[:-1]).astype(jnp.int32)]
+    head = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    rank = jnp.cumsum(head.astype(jnp.int32)) - 1  # unique index per point
+    ok = head & (ids_s < sentinel) & (rank < cap)
+    uids = (
+        jnp.full((cap + 1,), sentinel, jnp.int32)
+        .at[jnp.where(ok, rank, cap)]
+        .set(ids_s.astype(jnp.int32), mode="drop", unique_indices=True)[:cap]
     )
-    seg = jnp.cumsum(head) - 1  # [N] nondecreasing
-    starts = jnp.searchsorted(seg, jnp.arange(cap, dtype=jnp.int32), side="left")
-    starts_c = jnp.minimum(starts, ids.shape[0] - 1)
-    uids = jnp.take(ids_s, starts_c)
-    mask = (starts < ids.shape[0]) & (uids < sentinel)
-    uids = jnp.where(mask, uids, sentinel)
-    return uids.astype(jnp.int32), mask
+    return uids, uids < sentinel
 
 
 class ColumnTable(NamedTuple):
@@ -116,13 +117,12 @@ class ColumnTable(NamedTuple):
     Sites are sorted by x-major id = (x*Y + y)*Z + z, i.e. grouped into
     (x, y) *columns* with ascending z. Since Z <= 64 for every stage of
     the encoder, each column's z-occupancy fits one 64-bit mask (stored
-    as two uint32 lanes). A site lookup is then 3 gathers + popcount:
+    as two uint32 lanes). A site lookup costs ONE 12-byte gather from
+    the packed [X*Y, 3] table + popcount:
         row = start[col] + popcount(bits below z);  present = bit z.
     """
 
-    lo: jnp.ndarray  # [X*Y] uint32, z bits 0..31
-    hi: jnp.ndarray  # [X*Y] uint32, z bits 32..63
-    start: jnp.ndarray  # [X*Y] int32, first row of the column
+    packed: jnp.ndarray  # [X*Y, 3] int32: (lo bits, hi bits, start row)
 
 
 def build_column_table(ids, grid: SparseGrid) -> ColumnTable:
@@ -143,7 +143,24 @@ def build_column_table(ids, grid: SparseGrid) -> ColumnTable:
     start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts.astype(jnp.int32))[:-1]]
     )
-    return ColumnTable(lo, hi, start)
+    packed = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(lo, jnp.int32),
+            jax.lax.bitcast_convert_type(hi, jnp.int32),
+            start,
+        ],
+        axis=-1,
+    )
+    return ColumnTable(packed)
+
+
+def _fetch_columns(table: ColumnTable, col):
+    """Gather (lo, hi, start) for column indices of any shape — one
+    12-byte row gather per query."""
+    rows = jnp.take(table.packed, col, axis=0)
+    lo = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
+    return lo, hi, rows[..., 2]
 
 
 def _rank_below(lo, hi, z):
@@ -176,9 +193,7 @@ def _lookup(ids, nx_, ny_, nz_, ok, grid: SparseGrid, table: ColumnTable = None)
         table = build_column_table(ids, grid)
     XY = grid.X * grid.Y
     col = jnp.clip(nx_ * grid.Y + ny_, 0, XY - 1)
-    lo = jnp.take(table.lo, col)
-    hi = jnp.take(table.hi, col)
-    st = jnp.take(table.start, col)
+    lo, hi, st = _fetch_columns(table, col)
     present = _present(lo, hi, nz_) & ok
     row = st + _rank_below(lo, hi, nz_)
     return jnp.where(present, row, -1).astype(jnp.int32)
@@ -189,24 +204,34 @@ def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3):
 
     ids: [cap] sorted active-site ids (sentinel-padded). Returns
     nbr [cap, K] int32 indices into ids (-1 on miss), reused by every
-    subm conv sharing the indice_key (spconv conv.py:152-179). All K
-    offsets are looked up with ONE vectorized binary search.
+    subm conv sharing the indice_key (spconv conv.py:152-179).
+
+    Offsets that share a (dx, dy) column reuse ONE 12-byte column fetch;
+    all kz neighbors of that column are resolved with popcount bit math.
+    For a 3^3 kernel this is 9 gathers/site instead of 27 searches.
     """
     kx, ky, kz = _triple(kernel_size)
-    offs = jnp.asarray(kernel_offsets((kx, ky, kz)))  # [K, 3]
-    pad = jnp.asarray([(kx - 1) // 2, (ky - 1) // 2, (kz - 1) // 2])
-    d = offs - pad  # [K, 3]
+    px, py, pz = (kx - 1) // 2, (ky - 1) // 2, (kz - 1) // 2
+    table = build_column_table(ids, grid)
     x, y, z = unlin_ids(ids, grid)
-    nx_ = x[:, None] + d[None, :, 0]
-    ny_ = y[:, None] + d[None, :, 1]
-    nz_ = z[:, None] + d[None, :, 2]
-    ok = (
-        (nx_ >= 0) & (nx_ < grid.X)
-        & (ny_ >= 0) & (ny_ < grid.Y)
-        & (nz_ >= 0) & (nz_ < grid.Z)
-        & (ids < grid.size)[:, None]
-    )
-    return _lookup(ids, nx_, ny_, nz_, ok, grid)
+    valid = ids < grid.size
+    XY = grid.X * grid.Y
+
+    cols_k = []  # per (dx, dy): list of per-kz row columns
+    for dx in range(kx):
+        for dy in range(ky):
+            nx_ = x + (dx - px)
+            ny_ = y + (dy - py)
+            okc = (nx_ >= 0) & (nx_ < grid.X) & (ny_ >= 0) & (ny_ < grid.Y) & valid
+            col = jnp.clip(nx_ * grid.Y + ny_, 0, XY - 1)
+            lo, hi, st = _fetch_columns(table, col)
+            for dz in range(kz):
+                nz_ = z + (dz - pz)
+                ok = okc & (nz_ >= 0) & (nz_ < grid.Z)
+                present = _present(lo, hi, nz_) & ok
+                row = st + _rank_below(lo, hi, nz_)
+                cols_k.append(jnp.where(present, row, -1).astype(jnp.int32))
+    return jnp.stack(cols_k, axis=1)  # [cap, K] in kernel_offsets order
 
 
 def subm_gather_gemm(feats, nbr, weight):
@@ -229,6 +254,119 @@ def subm_gather_gemm(feats, nbr, weight):
 
     init = jnp.zeros((nbr.shape[0], Cout), jnp.float32)
     out, _ = jax.lax.scan(step, init, (nbr.T, weight))
+    return out.astype(feats.dtype)
+
+
+class WindowRulebook(NamedTuple):
+    """Rulebook exploiting z-minor site order: for each (kx, ky) column
+    offset, the kz = 3 consecutive z-neighbors live in a 3-row window of
+    the site list anchored at `base` (the insertion row of the middle
+    z). `slot` gives each kz's position inside the window (0..2) and
+    `mask` its validity. One contiguous 3-row gather then replaces 3
+    random row gathers."""
+
+    base: jnp.ndarray  # [cap_out, G] int32 window anchor rows (can be -1)
+    slot: jnp.ndarray  # [cap_out, G, 3] int8 position within window
+    mask: jnp.ndarray  # [cap_out, G, 3] bool
+
+
+def _window_rulebook(table: ColumnTable, grid: SparseGrid, qx, qy, qz_mid,
+                     ok_site, kx: int, ky: int, px: int, py: int):
+    """Shared builder: query sites (qx, qy) with middle z qz_mid; the
+    window covers z in {qz_mid - 1, qz_mid, qz_mid + 1}."""
+    XY = grid.X * grid.Y
+    bases, slots, masks = [], [], []
+    for dx in range(kx):
+        for dy in range(ky):
+            nx_ = qx + (dx - px)
+            ny_ = qy + (dy - py)
+            okc = (nx_ >= 0) & (nx_ < grid.X) & (ny_ >= 0) & (ny_ < grid.Y) & ok_site
+            col = jnp.clip(nx_ * grid.Y + ny_, 0, XY - 1)
+            lo, hi, st = _fetch_columns(table, col)
+            z = qz_mid
+            p_m = _present(lo, hi, z - 1) & okc & (z - 1 >= 0)
+            p_0 = _present(lo, hi, z) & okc & (z >= 0) & (z < grid.Z)
+            p_p = _present(lo, hi, z + 1) & okc & (z + 1 < grid.Z)
+            r0 = st + _rank_below(lo, hi, jnp.clip(z, 0, grid.Z - 1))
+            base = r0 - 1  # window rows {r0-1, r0, r0+1}
+            s_m = jnp.zeros_like(z, jnp.int8)
+            s_0 = jnp.ones_like(z, jnp.int8)
+            s_p = (1 + p_0.astype(jnp.int8)).astype(jnp.int8)
+            bases.append(jnp.where(okc, base, -1).astype(jnp.int32))
+            slots.append(jnp.stack([s_m, s_0, s_p], -1))
+            masks.append(jnp.stack([p_m, p_0, p_p], -1))
+    return WindowRulebook(
+        jnp.stack(bases, 1), jnp.stack(slots, 1), jnp.stack(masks, 1)
+    )
+
+
+def build_subm_window_rulebook(ids, grid: SparseGrid, kernel_size=3):
+    kx, ky, kz = _triple(kernel_size)
+    assert kz == 3, "window rulebook requires kz == 3"
+    table = build_column_table(ids, grid)
+    x, y, z = unlin_ids(ids, grid)
+    return _window_rulebook(table, grid, x, y, z, ids < grid.size,
+                            kx, ky, (kx - 1) // 2, (ky - 1) // 2)
+
+
+def build_conv_window_rulebook(in_ids, out_ids, grid: SparseGrid,
+                               out_grid: SparseGrid, kernel_size, stride,
+                               padding):
+    k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
+    assert k[2] == 3, "window rulebook requires kz == 3"
+    table = build_column_table(in_ids, grid)
+    ox, oy, oz = unlin_ids(out_ids, out_grid)
+    # query columns at input coords; middle z = oz*sz - pz + 1
+    qx = ox * s[0] - p[0]
+    qy = oy * s[1] - p[1]
+    qz = oz * s[2] - p[2] + 1
+    # _window_rulebook's (dx, dy) enumeration adds 0..k-1 with pad 0
+    return _window_rulebook(table, grid, qx, qy, qz, out_ids < out_grid.size,
+                            k[0], k[1], 0, 0)
+
+
+def window_gather_gemm(feats, rb: WindowRulebook, weight):
+    """feats [cap_in, Cin]; weight [G*3, Cin, Cout] in kernel_offsets
+    order (x-major, z-minor) -> [cap_out, Cout].
+
+    Per (kx, ky) group: ONE contiguous 3-row slice gather, then each kz
+    selects its slot (a 3-way elementwise select) and hits the MXU.
+    """
+    cap_in, Cin = feats.shape
+    G = rb.base.shape[1]
+    Cout = weight.shape[-1]
+    # pad one row front/back so windows at the edges stay in bounds
+    feats_pad = jnp.concatenate(
+        [jnp.zeros((1, Cin), feats.dtype), feats, jnp.zeros((1, Cin), feats.dtype)],
+        axis=0,
+    )
+    w = weight.reshape(G, 3, Cin, weight.shape[-1])
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    def step(acc, inputs):
+        base, slot, mask, wg = inputs  # [N], [N,3], [N,3], [3,Cin,Cout]
+        # padded[i] = feats[i-1]: slice [base+1 : base+4] covers feats
+        # rows {base, base+1, base+2}; out-of-range rows hit the zero pad
+        start = jnp.clip(base + 1, 0, cap_in - 1)[:, None]
+        win = jax.lax.gather(
+            feats_pad, start, dnums, slice_sizes=(3, Cin)
+        )  # [N, 3, Cin]
+        for kz in range(3):
+            sel = jnp.take_along_axis(
+                win, slot[:, kz].astype(jnp.int32)[:, None, None], axis=1
+            )[:, 0]
+            sel = jnp.where(mask[:, kz][:, None], sel, 0.0)
+            acc = acc + jnp.dot(sel, wg[kz], preferred_element_type=jnp.float32)
+        return acc, None
+
+    init = jnp.zeros((rb.base.shape[0], Cout), jnp.float32)
+    out, _ = jax.lax.scan(
+        step, init,
+        (rb.base.T, rb.slot.transpose(1, 0, 2), rb.mask.transpose(1, 0, 2), w),
+    )
     return out.astype(feats.dtype)
 
 
@@ -293,22 +431,30 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
 
     For output site o and offset k the unique input coord is
     o*s - p + off_k; returns nbr [cap_out, K] int32 into in_ids (-1 miss).
-    One vectorized binary search covers all K offsets.
+    Shares one packed column fetch across the kz offsets of each
+    (kx, ky), like build_subm_rulebook.
     """
     k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
-    offs = jnp.asarray(kernel_offsets(kernel_size))  # [K, 3]
+    table = build_column_table(in_ids, grid)
     ox, oy, oz = unlin_ids(out_ids, out_grid)
     out_valid = out_ids < out_grid.size
-    ix = ox[:, None] * s[0] - p[0] + offs[None, :, 0]
-    iy = oy[:, None] * s[1] - p[1] + offs[None, :, 1]
-    iz = oz[:, None] * s[2] - p[2] + offs[None, :, 2]
-    ok = (
-        (ix >= 0) & (ix < grid.X)
-        & (iy >= 0) & (iy < grid.Y)
-        & (iz >= 0) & (iz < grid.Z)
-        & out_valid[:, None]
-    )
-    return _lookup(in_ids, ix, iy, iz, ok, grid)
+    XY = grid.X * grid.Y
+
+    cols_k = []
+    for dx in range(k[0]):
+        for dy in range(k[1]):
+            ix = ox * s[0] - p[0] + dx
+            iy = oy * s[1] - p[1] + dy
+            okc = (ix >= 0) & (ix < grid.X) & (iy >= 0) & (iy < grid.Y) & out_valid
+            col = jnp.clip(ix * grid.Y + iy, 0, XY - 1)
+            lo, hi, st = _fetch_columns(table, col)
+            for dz in range(k[2]):
+                iz = oz * s[2] - p[2] + dz
+                ok = okc & (iz >= 0) & (iz < grid.Z)
+                present = _present(lo, hi, iz) & ok
+                row = st + _rank_below(lo, hi, iz)
+                cols_k.append(jnp.where(present, row, -1).astype(jnp.int32))
+    return jnp.stack(cols_k, axis=1)
 
 
 def to_dense(feats, ids, mask, grid: SparseGrid):

@@ -86,15 +86,24 @@ def voxelize(
     ids_s = jnp.take(ids, order)
 
     M = max_voxels
-    seg_range_ids = jnp.arange(M, dtype=jnp.int32)
-    # per-point segment index (0-based, nondecreasing)
-    head = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (ids_s[1:] != ids_s[:-1]).astype(jnp.int32)]
+    # per-point segment index (0-based, nondecreasing); boundaries found
+    # by scattering run heads/tails (unique indices, no binary search)
+    headb = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    tailb = jnp.concatenate([ids_s[:-1] != ids_s[1:], jnp.ones((1,), bool)])
+    seg_of_point = jnp.cumsum(headb.astype(jnp.int32)) - 1  # [P]
+    pos = jnp.arange(P, dtype=jnp.int32)
+    seg_clip = jnp.where(seg_of_point < M, seg_of_point, M)
+    starts = (
+        jnp.full((M + 1,), P, jnp.int32)
+        .at[jnp.where(headb, seg_clip, M)]
+        .set(pos, mode="drop", unique_indices=True)[:M]
     )
-    seg_of_point = jnp.cumsum(head) - 1  # [P]
-    starts = jnp.searchsorted(seg_of_point, seg_range_ids, side="left")
-    ends = jnp.searchsorted(seg_of_point, seg_range_ids, side="right")
-    count = (ends - starts).astype(jnp.int32)
+    ends = (
+        jnp.full((M + 1,), P, jnp.int32)
+        .at[jnp.where(tailb, seg_clip, M)]
+        .set(pos + 1, mode="drop", unique_indices=True)[:M]
+    )
+    count = jnp.where(starts < P, ends - starts, 0).astype(jnp.int32)
 
     start_clip = jnp.minimum(starts, P - 1)
     vox_ids = jnp.take(ids_s, start_clip)

@@ -159,3 +159,41 @@ def test_sparse_encoder_end_to_end():
     # 32/8 = 4 spatial, z: 9 -> 5 -> 3 -> 2 -> (2-3)//2+1 = 0? depends; just check XY
     assert out.shape[0] == 2 and out.shape[1] == 4 and out.shape[2] == 4
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_window_rulebook_matches_generic():
+    """window_gather_gemm must agree exactly with the generic 27-row
+    gather-GEMM for both subm and strided convs."""
+    rng = np.random.RandomState(7)
+    grid = sp.SparseGrid(10, 9, 8)
+    Cin, Cout = 4, 6
+    ids, feats, mask = _random_sparse(rng, grid, 60, 96, Cin)
+    w = jnp.array(rng.randn(27, Cin, Cout).astype(np.float32) * 0.1)
+
+    # submanifold
+    nbr = sp.build_subm_rulebook(ids, grid, 3)
+    want = np.asarray(sp.subm_gather_gemm(feats, nbr, w))
+    rb = sp.build_subm_window_rulebook(ids, grid, 3)
+    got = np.asarray(sp.window_gather_gemm(feats, rb, w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # strided
+    k, s, p = 3, 2, 1
+    og = sp.conv_out_shape(grid, k, s, p)
+    out_ids, out_mask = sp.downsample_sites(ids, grid, k, s, p, 128)
+    cn = sp.build_conv_rulebook(ids, out_ids, grid, og, k, s, p)
+    want2 = np.asarray(sp.subm_gather_gemm(feats, cn, w))
+    rb2 = sp.build_conv_window_rulebook(ids, out_ids, grid, og, k, s, p)
+    got2 = np.asarray(sp.window_gather_gemm(feats, rb2, w))
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+    # conv_out-style kernel (1, 1, 3) stride (1, 1, 2)
+    k3, s3, p3 = (1, 1, 3), (1, 1, 2), 0
+    og3 = sp.conv_out_shape(grid, k3, s3, p3)
+    oi3, om3 = sp.downsample_sites(ids, grid, k3, s3, p3, 96)
+    w3 = jnp.array(rng.randn(3, Cin, Cout).astype(np.float32) * 0.1)
+    cn3 = sp.build_conv_rulebook(ids, oi3, grid, og3, k3, s3, p3)
+    want3 = np.asarray(sp.subm_gather_gemm(feats, cn3, w3))
+    rb3 = sp.build_conv_window_rulebook(ids, oi3, grid, og3, k3, s3, p3)
+    got3 = np.asarray(sp.window_gather_gemm(feats, rb3, w3))
+    np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-5)
