@@ -37,28 +37,34 @@ def _sorted_segment_sum(vals, ids, num_segments):
     tails (unique indices — the fast scatter path; no binary search).
     Accumulation is forced to fp32.
     """
-    Np = ids.shape[0]
     order = jnp.argsort(ids)
     ids_s = ids[order]
     vals_s = jnp.take(vals, order, axis=0).astype(jnp.float32)
-    csum = jnp.cumsum(vals_s, axis=0)
+    return _presorted_segment_sum(vals_s, ids_s, num_segments)
+
+
+def _presorted_segment_sum(vals_s, ids_s, num_segments):
+    """Segment-sum of already-sorted vals [Np, C] by sorted ids [Np].
+
+    One scatter of run *ends*; each segment's start is the previous
+    nonempty segment's end, recovered with a cummax — so
+    sum[c] = prefix[cummax_ends[c]] - prefix[cummax_ends[c - 1]].
+    """
+    Np = ids_s.shape[0]
+    csum = jnp.cumsum(vals_s.astype(jnp.float32), axis=0)
 
     pos = jnp.arange(Np, dtype=jnp.int32)
-    head = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
     tail = jnp.concatenate([ids_s[:-1] != ids_s[1:], jnp.ones((1,), bool)])
     in_range = ids_s < num_segments
-    starts = (
-        jnp.zeros((num_segments + 1,), jnp.int32)
-        .at[jnp.where(head & in_range, ids_s, num_segments)]
-        .set(pos, mode="drop", unique_indices=True)[:num_segments]
-    )
     ends = (
         jnp.zeros((num_segments + 1,), jnp.int32)
         .at[jnp.where(tail & in_range, ids_s, num_segments)]
         .set(pos + 1, mode="drop", unique_indices=True)[:num_segments]
     )
-    # prefix[i] = csum[i-1], prefix[0] = 0; empty cells have start==end==0
-    zero = jnp.zeros((1, vals.shape[1]), jnp.float32)
+    ends = jax.lax.cummax(ends)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    # prefix[i] = csum[i-1], prefix[0] = 0; empty cells have start == end
+    zero = jnp.zeros((1, vals_s.shape[1]), jnp.float32)
     prefix = jnp.concatenate([zero, csum], axis=0)
     return jnp.take(prefix, ends, axis=0) - jnp.take(prefix, starts, axis=0)
 
@@ -111,9 +117,25 @@ def lss_bev_pool(depth, ctx, cell_ids, valid, Z, X, Y):
     num_cells = Z * X * Y
 
     def pool_one(dep, cx, ids, val):
-        prod = (dep[..., None] * cx[:, None]).reshape(-1, C)
+        # Gather order: sort cell ids first, then form the product in
+        # sorted order by gathering rows of the SMALL per-pixel context
+        # table (N*fH*fW rows ~ a few MB, cache/VMEM hot) instead of a
+        # materialized [N*D*fH*fW, C] product (HBM-sized, one-touch).
+        Np = N * D * fH * fW
         ids_f = jnp.where(val, ids, num_cells).reshape(-1).astype(jnp.int32)
-        out = _sorted_segment_sum(prod, ids_f, num_cells)
+        # one multi-operand sort carries depth + original index along
+        # (random scalar takes cost ~3x a sort pass on this TPU)
+        iota = jax.lax.iota(jnp.int32, Np)
+        ids_s, d_s, order = jax.lax.sort(
+            (ids_f, dep.reshape(-1), iota), num_keys=1
+        )
+        # pixel index of a frustum point is pure arithmetic on its flat
+        # (n, d, h, w) index — compute it from `order` with no gather
+        HW = fH * fW
+        pix_s = (order // (D * HW)) * HW + (order % HW)
+        rows = jnp.take(cx.reshape(N * HW, C), pix_s, axis=0)
+        vals_s = d_s[:, None].astype(jnp.float32) * rows.astype(jnp.float32)
+        out = _presorted_segment_sum(vals_s, ids_s, num_cells)
         return out.reshape(Z, X, Y, C)
 
     out = jax.vmap(pool_one)(depth, ctx, cell_ids, valid)  # [B, Z, X, Y, C]
