@@ -5,13 +5,17 @@ SubMConv3d input conv, 4 stages (basicblock: 2 residual subm blocks +
 stride-2 SparseConv3d between stages), final (1,1,3)/(1,1,2) conv_out,
 then `.dense()` reshaped to an [B, X/8, Y/8, C*D] BEV map.
 
-TPU-first: active sites are sorted-id tables with static caps; subm
-rulebooks are built once per stage and shared by all convs in the stage
-(the reference's indice_key contract); everything vmaps over batch so
-the per-offset GEMMs run as batched MXU matmuls. BatchNorm is masked
-over active sites only (the reference's BN1d over the [N_active, C]
-feature matrix) and reduces over the *global* batch under pjit, which
-reproduces NaiveSyncBatchNorm semantics.
+TPU-first: the fine stages run gather-GEMM sparse convs over sorted-id
+site tables (static caps, rulebooks shared per indice_key); from
+``dense_from_stage`` on, the grid is small enough that *dense* masked
+3D convs on the MXU beat gathers by an order of magnitude (the
+reference's own mitigation plan, SURVEY §7 hard-part 1: "dense fallback
+is numerically exact and the grids after stage 2 are small"). Masked
+dense convs are exactly equivalent to sparse convs:
+  subm      = conv3d(x) * active_mask
+  sparse/s2 = conv3d(x, stride 2) * maxpool(active_mask)
+BatchNorm always takes moments over active sites only and reduces over
+the global batch under pjit (NaiveSyncBatchNorm semantics).
 """
 from __future__ import annotations
 
@@ -29,11 +33,11 @@ Dtype = Any
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over active rows of [B, M, C] with validity mask [B, M].
+    """BatchNorm over active elements with a broadcastable mask.
 
-    Matches torch BN1d(momentum, eps) over the packed active-feature
-    matrix; padded rows are excluded from the moments and zeroed in the
-    output.
+    x: [..., C]; mask: [...] bool (any shape broadcastable to x's batch
+    dims). Matches torch BN1d over the packed active-feature matrix;
+    padded/inactive rows are excluded from the moments and zeroed.
     """
 
     eps: float = 1e-3
@@ -48,12 +52,13 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
 
+        axes = tuple(range(x.ndim - 1))
         if training:
             m = mask[..., None].astype(jnp.float32)
             cnt = jnp.maximum(jnp.sum(m), 1.0)
             xf = x.astype(jnp.float32) * m
-            mean = jnp.sum(xf, axis=(0, 1)) / cnt
-            var = jnp.sum((x.astype(jnp.float32) - mean) ** 2 * m, axis=(0, 1)) / cnt
+            mean = jnp.sum(xf, axis=axes) / cnt
+            var = jnp.sum((x.astype(jnp.float32) - mean) ** 2 * m, axis=axes) / cnt
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
@@ -67,8 +72,7 @@ class MaskedBatchNorm(nn.Module):
 
 
 class _SparseConvNd(nn.Module):
-    """Batched gather-GEMM conv over a shared window rulebook (both
-    submanifold and strided paths; kz == 3 always holds here)."""
+    """Batched gather-GEMM conv over a shared rulebook [B, cap, K]."""
 
     in_channels: int
     out_channels: int
@@ -88,12 +92,79 @@ class _SparseConvNd(nn.Module):
         )
 
 
-_SubmConv = _SparseConvNd
-_SparseConv = _SparseConvNd
+class _DenseConv3d(nn.Module):
+    """Dense 3D conv as a sum of kz 2D convs with z folded into batch.
+
+    TPU 2D convolutions hit ~74% MXU utilization while native 3D convs
+    run at ~3% (measured, PERFORMANCE.md) — so the 3D conv is computed
+    as sum over kz of conv2d on [B*Z, X, Y, C] z-shifted slices.
+    Layout: x is [B, Z, X, Y, C] (z-major); weights share the sparse
+    layout [K, Cin, Cout] (kernel_offsets order = x-major z-minor).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Any = 3
+    stride: Any = 1
+    padding: Any = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kx, ky, kz = _as3(self.kernel_size)
+        sx, sy, sz = _as3(self.stride)
+        px, py, pz = (int(v) for v in _as3_keep(self.padding))
+        w = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (kx * ky * kz, self.in_channels, self.out_channels),
+        )
+        w3 = w.reshape(kx, ky, kz, self.in_channels, self.out_channels)
+        B, Z, X, Y, C = x.shape
+        Zo = (Z + 2 * pz - kz) // sz + 1
+        xp = jnp.pad(x, ((0, 0), (pz, pz), (0, 0), (0, 0), (0, 0)))
+        acc = None
+        for dz in range(kz):
+            if sz == 1:
+                xs = jax.lax.slice_in_dim(xp, dz, dz + Zo, axis=1)
+            else:
+                zidx = dz + sz * jnp.arange(Zo)
+                xs = jnp.take(xp, zidx, axis=1)
+            y = jax.lax.conv_general_dilated(
+                xs.reshape(B * Zo, X, Y, C).astype(self.dtype),
+                w3[:, :, dz].astype(self.dtype),
+                window_strides=(sx, sy),
+                padding=((px, px), (py, py)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            acc = y if acc is None else acc + y
+        Xo, Yo = acc.shape[1], acc.shape[2]
+        return acc.reshape(B, Zo, Xo, Yo, self.out_channels)
 
 
 def _as3(v):
     return tuple(v) if isinstance(v, (tuple, list)) else (v, v, v)
+
+
+def _as3_keep(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v, v)
+
+
+def _as_pair(v):
+    return (int(v), int(v))
+
+
+def _dilate_mask(mask, kernel, stride, padding):
+    """Active-output mask of a strided sparse conv on a dense z-major
+    grid (mask [B, Z, X, Y]; kernel/stride/padding given x-major)."""
+    kx, ky, kz = _as3(kernel)
+    sx, sy, sz = _as3(stride)
+    px, py, pz = (int(v) for v in _as3_keep(padding))
+    return nn.max_pool(
+        mask.astype(jnp.float32)[..., None],
+        (kz, kx, ky), strides=(sz, sx, sy),
+        padding=((pz, pz), (px, px), (py, py)),
+    )[..., 0] > 0
 
 
 @BACKBONES.register()
@@ -108,11 +179,14 @@ class SparseEncoder(nn.Module):
     encoder_paddings: Sequence[Sequence[Any]] = ((1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
     block_type: str = "conv_module"
     site_cap_multiplier: float = 1.0  # output-site cap per downsample, x input cap
-    # explicit per-downsample output-site caps (overrides the multiplier;
-    # one entry per strided conv in order, the last also caps conv_out).
-    # Active sites beyond the cap are dropped smallest-id-last, like the
-    # voxelizer's overflow rule.
+    # explicit per-downsample output-site caps (overrides the multiplier)
     site_caps: Optional[Sequence[int]] = None
+    # stages >= this index run as dense masked MXU convs (numerically
+    # exact; the coarse grids fit HBM easily). -1 disables. Stage 2 is
+    # the sweet spot: earlier stages have <64 channels, and TPU lane
+    # padding (channels -> 128) would blow activations up 4x (observed
+    # OOM at stage 1: bf16[21,720,720,32] padded 4.6x).
+    dense_from_stage: int = 2
     dtype: Dtype = jnp.float32
 
     def _bn(self, name):
@@ -137,11 +211,32 @@ class SparseEncoder(nn.Module):
         def subm_rb(ids_, g):
             return jax.vmap(lambda i: sp.build_subm_rulebook(i, g, 3))(ids_)
 
+        dense_mode = self.dense_from_stage == 0
+        dmask = None  # dense [B, X, Y, Z] bool once dense_mode
+
+        def densify(feats_, ids_, mask_, g):
+            """-> dense z-major [B, Z, X, Y, C] + occupancy [B, Z, X, Y]."""
+            d = jax.vmap(lambda f, i, m: sp.to_dense_zmajor(f, i, m, g))(
+                feats_, ids_, mask_)
+            occ = jax.vmap(
+                lambda i, m: sp.to_dense_zmajor(
+                    jnp.ones(i.shape + (1,), jnp.float32), i, m, g)
+            )(ids_, mask_)[..., 0] > 0
+            return d, occ
+
+        if dense_mode:
+            feats, dmask = densify(feats, ids, mask, grid)
+
         # conv_input (sparse_encoder.py:63-85): subm k3 p1 + BN + ReLU
-        nbr = subm_rb(ids, grid)
-        feats = _SubmConv(self.in_channels, self.base_channels, 3,
-                          dtype=self.dtype, name="conv_input")(feats, nbr)
-        feats = self._bn("bn_input")(feats, mask, training)
+        if dense_mode:
+            feats = _DenseConv3d(self.in_channels, self.base_channels, 3, 1, 1,
+                                 dtype=self.dtype, name="conv_input")(feats)
+            feats = self._bn("bn_input")(feats, dmask, training)
+        else:
+            nbr = subm_rb(ids, grid)
+            feats = _SparseConvNd(self.in_channels, self.base_channels, 3,
+                                  dtype=self.dtype, name="conv_input")(feats, nbr)
+            feats = self._bn("bn_input")(feats, mask, training)
         feats = nn.relu(feats)
 
         in_ch = self.base_channels
@@ -150,6 +245,9 @@ class SparseEncoder(nn.Module):
         n_down = 0
 
         for i, blocks in enumerate(self.encoder_channels):
+            if not dense_mode and 0 <= self.dense_from_stage == i:
+                feats, dmask = densify(feats, ids, mask, grid)
+                dense_mode = True
             for j, out_ch in enumerate(tuple(blocks)):
                 padding = tuple(self.encoder_paddings[i])[j]
                 is_strided = (
@@ -162,67 +260,106 @@ class SparseEncoder(nn.Module):
                 )
                 name = f"stage{i}_block{j}"
                 if is_strided:
-                    if self.site_caps is not None and n_down < len(self.site_caps):
-                        cap_out = int(self.site_caps[n_down])
+                    will_dense = dense_mode or (0 <= self.dense_from_stage <= i + 1)
+                    if dense_mode:
+                        feats = _DenseConv3d(in_ch, out_ch, 3, 2, padding,
+                                             dtype=self.dtype,
+                                             name=f"{name}_spconv")(feats)
+                        dmask = _dilate_mask(dmask, 3, 2, padding)
+                        feats = self._bn(f"{name}_bn")(feats, dmask, training)
+                        feats = nn.relu(feats)
+                        grid = sp.conv_out_shape(grid, 3, 2, padding)
                     else:
-                        cap_out = max(1, int(cap * self.site_cap_multiplier))
+                        if self.site_caps is not None and n_down < len(self.site_caps):
+                            cap_out = int(self.site_caps[n_down])
+                        else:
+                            cap_out = max(1, int(cap * self.site_cap_multiplier))
+                        out_grid = sp.conv_out_shape(grid, 3, 2, padding)
+                        g_in = grid
+                        out_ids, out_mask = jax.vmap(
+                            lambda i_: sp.downsample_sites(i_, g_in, 3, 2, padding, cap_out)
+                        )(ids)
+                        cnbr = jax.vmap(
+                            lambda oi, ii: sp.build_conv_rulebook(
+                                ii, oi, g_in, out_grid, 3, 2, padding
+                            ),
+                            in_axes=(0, 0),
+                        )(out_ids, ids)
+                        feats = _SparseConvNd(in_ch, out_ch, 3, dtype=self.dtype,
+                                              name=f"{name}_spconv")(feats, cnbr)
+                        ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
+                        feats = self._bn(f"{name}_bn")(feats, mask, training)
+                        feats = nn.relu(feats)
+                        if will_dense:
+                            feats, dmask = densify(feats, ids, mask, grid)
+                            dense_mode = True
+                        else:
+                            nbr = subm_rb(ids, grid)
                     n_down += 1
-                    out_grid = sp.conv_out_shape(grid, 3, 2, padding)
-                    g_in = grid
-                    out_ids, out_mask = jax.vmap(
-                        lambda i_: sp.downsample_sites(i_, g_in, 3, 2, padding, cap_out)
-                    )(ids)
-                    cnbr = jax.vmap(
-                        lambda oi, ii: sp.build_conv_rulebook(
-                            ii, oi, g_in, out_grid, 3, 2, padding
-                        ),
-                        in_axes=(0, 0),
-                    )(out_ids, ids)
-                    feats = _SparseConv(in_ch, out_ch, 3, dtype=self.dtype,
-                                        name=f"{name}_spconv")(feats, cnbr)
-                    ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
-                    feats = self._bn(f"{name}_bn")(feats, mask, training)
-                    feats = nn.relu(feats)
-                    nbr = subm_rb(ids, grid)
                 elif self.block_type == "basicblock":
                     # SparseBasicBlock (ops/sparse_block.py): two subm
                     # convs + BN with residual
                     identity = feats
-                    y = _SubmConv(in_ch, out_ch, 3, dtype=self.dtype,
-                                  name=f"{name}_conv1")(feats, nbr)
-                    y = self._bn(f"{name}_bn1")(y, mask, training)
-                    y = nn.relu(y)
-                    y = _SubmConv(out_ch, out_ch, 3, dtype=self.dtype,
-                                  name=f"{name}_conv2")(y, nbr)
-                    y = self._bn(f"{name}_bn2")(y, mask, training)
-                    feats = nn.relu(y + identity)
-                    feats = jnp.where(mask[..., None], feats, 0.0)
+                    if dense_mode:
+                        y = _DenseConv3d(in_ch, out_ch, 3, 1, 1, dtype=self.dtype,
+                                         name=f"{name}_conv1")(feats)
+                        y = self._bn(f"{name}_bn1")(y, dmask, training)
+                        y = nn.relu(y)
+                        y = _DenseConv3d(out_ch, out_ch, 3, 1, 1, dtype=self.dtype,
+                                         name=f"{name}_conv2")(y)
+                        y = self._bn(f"{name}_bn2")(y, dmask, training)
+                        feats = nn.relu(y + identity)
+                        feats = jnp.where(dmask[..., None], feats, 0.0)
+                    else:
+                        y = _SparseConvNd(in_ch, out_ch, 3, dtype=self.dtype,
+                                          name=f"{name}_conv1")(feats, nbr)
+                        y = self._bn(f"{name}_bn1")(y, mask, training)
+                        y = nn.relu(y)
+                        y = _SparseConvNd(out_ch, out_ch, 3, dtype=self.dtype,
+                                          name=f"{name}_conv2")(y, nbr)
+                        y = self._bn(f"{name}_bn2")(y, mask, training)
+                        feats = nn.relu(y + identity)
+                        feats = jnp.where(mask[..., None], feats, 0.0)
                 else:
-                    y = _SubmConv(in_ch, out_ch, 3, dtype=self.dtype,
-                                  name=f"{name}_conv")(feats, nbr)
-                    y = self._bn(f"{name}_bn")(y, mask, training)
+                    if dense_mode:
+                        y = _DenseConv3d(in_ch, out_ch, 3, 1, padding,
+                                         dtype=self.dtype, name=f"{name}_conv")(feats)
+                        y = self._bn(f"{name}_bn")(y, dmask, training)
+                    else:
+                        y = _SparseConvNd(in_ch, out_ch, 3, dtype=self.dtype,
+                                          name=f"{name}_conv")(feats, nbr)
+                        y = self._bn(f"{name}_bn")(y, mask, training)
                     feats = nn.relu(y)
                 in_ch = out_ch
 
         # conv_out (sparse_encoder.py:87-97): SparseConv3d (1,1,3)/(1,1,2)
         k_out, s_out, p_out = (1, 1, 3), (1, 1, 2), 0
-        out_grid = sp.conv_out_shape(grid, k_out, s_out, p_out)
-        g_fin = grid
-        out_ids, out_mask = jax.vmap(
-            lambda i_: sp.downsample_sites(i_, g_fin, k_out, s_out, p_out, cap)
-        )(ids)
-        cnbr = jax.vmap(
-            lambda oi, ii: sp.build_conv_rulebook(
-                ii, oi, g_fin, out_grid, k_out, s_out, p_out)
-        )(out_ids, ids)
-        feats = _SparseConv(in_ch, self.output_channels, k_out,
-                            dtype=self.dtype, name="conv_out")(feats, cnbr)
-        mask, ids, grid = out_mask, out_ids, out_grid
-        feats = self._bn("bn_out")(feats, mask, training)
-        feats = nn.relu(feats)
+        if dense_mode:
+            feats = _DenseConv3d(in_ch, self.output_channels, k_out, s_out,
+                                 p_out, dtype=self.dtype, name="conv_out")(feats)
+            dmask = _dilate_mask(dmask, k_out, s_out, p_out)
+            feats = self._bn("bn_out")(feats, dmask, training)
+            feats = nn.relu(feats)
+            # [B, Z, X, Y, C] -> [B, X, Y, Z, C]
+            dense = feats.transpose(0, 2, 3, 1, 4)
+        else:
+            out_grid = sp.conv_out_shape(grid, k_out, s_out, p_out)
+            g_fin = grid
+            out_ids, out_mask = jax.vmap(
+                lambda i_: sp.downsample_sites(i_, g_fin, k_out, s_out, p_out, cap)
+            )(ids)
+            cnbr = jax.vmap(
+                lambda oi, ii: sp.build_conv_rulebook(
+                    ii, oi, g_fin, out_grid, k_out, s_out, p_out)
+            )(out_ids, ids)
+            feats = _SparseConvNd(in_ch, self.output_channels, k_out,
+                                  dtype=self.dtype, name="conv_out")(feats, cnbr)
+            mask, ids, grid = out_mask, out_ids, out_grid
+            feats = self._bn("bn_out")(feats, mask, training)
+            feats = nn.relu(feats)
+            dense = jax.vmap(lambda f, i, m: sp.to_dense(f, i, m, grid))(feats, ids, mask)
 
         # dense: [B, X, Y, Z, C] -> [B, X, Y, C*Z] (channel = c*Z + z,
         # matching the reference's permute+view, sparse_encoder.py:126-131)
-        dense = jax.vmap(lambda f, i, m: sp.to_dense(f, i, m, grid))(feats, ids, mask)
         B_, X, Y, Z, C = dense.shape
         return dense.transpose(0, 1, 2, 4, 3).reshape(B_, X, Y, C * Z)

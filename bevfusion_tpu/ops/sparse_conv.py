@@ -465,3 +465,14 @@ def to_dense(feats, ids, mask, grid: SparseGrid):
     dense = jnp.zeros((grid.size + 1, C), feats.dtype)
     dense = dense.at[idx].set(jnp.where(mask[:, None], feats, 0.0))
     return dense[:-1].reshape(grid.X, grid.Y, grid.Z, C)
+
+
+def to_dense_zmajor(feats, ids, mask, grid: SparseGrid):
+    """Scatter active features into a dense z-major [Z, X, Y, C] grid
+    (the layout the z-as-batch dense conv path uses)."""
+    C = feats.shape[-1]
+    zid = (ids % grid.Z) * (grid.X * grid.Y) + ids // grid.Z
+    idx = jnp.where(mask, zid, grid.size)
+    dense = jnp.zeros((grid.size + 1, C), feats.dtype)
+    dense = dense.at[idx].set(jnp.where(mask[:, None], feats, 0.0))
+    return dense[:-1].reshape(grid.Z, grid.X, grid.Y, C)

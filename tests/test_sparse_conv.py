@@ -197,3 +197,49 @@ def test_window_rulebook_matches_generic():
     rb3 = sp.build_conv_window_rulebook(ids, oi3, grid, og3, k3, s3, p3)
     got3 = np.asarray(sp.window_gather_gemm(feats, rb3, w3))
     np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_path_matches_sparse_path():
+    """dense_from_stage is numerically exact: same params, same input,
+    sparse gather path vs dense masked-conv path must agree."""
+    from bevfusion_tpu.models.sparse_encoder import SparseEncoder
+
+    rng = np.random.RandomState(11)
+    kw = dict(
+        in_channels=5, sparse_shape=(32, 32, 33), base_channels=4,
+        output_channels=8,
+        encoder_channels=((4, 4, 8), (8, 8, 16), (16, 16, 16), (16, 16)),
+        encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, (1, 1, 0)), (0, 0)),
+        block_type="basicblock",
+    )
+    enc_sparse = SparseEncoder(dense_from_stage=-1, **kw)
+    enc_dense = SparseEncoder(dense_from_stage=1, **kw)
+
+    B, M = 1, 48
+    coords = np.stack(
+        [rng.randint(0, 32, (B, M)), rng.randint(0, 32, (B, M)),
+         rng.randint(0, 16, (B, M))], axis=-1).astype(np.int32)
+    for b in range(B):
+        lin = (coords[b, :, 0] * 32 + coords[b, :, 1]) * 33 + coords[b, :, 2]
+        u, idx = np.unique(lin, return_index=True)
+        keep = np.zeros(M, bool)
+        keep[idx] = True
+        coords[b][~keep] = coords[b][idx[0]]  # dedupe: repeat first site
+        lin = (coords[b, :, 0] * 32 + coords[b, :, 1]) * 33 + coords[b, :, 2]
+        coords[b] = coords[b][np.argsort(lin, kind="stable")]
+    # rebuild mask so duplicated rows are invalid
+    lin0 = (coords[0, :, 0] * 32 + coords[0, :, 1]) * 33 + coords[0, :, 2]
+    mask = np.concatenate([[True], lin0[1:] != lin0[:-1]])[None]
+    feats = rng.randn(B, M, 5).astype(np.float32)
+
+    vs = jax.jit(enc_sparse.init)(jax.random.PRNGKey(0), jnp.array(feats),
+                                  jnp.array(coords), jnp.array(mask))
+    out_s, _ = jax.jit(lambda v, f, c, m: enc_sparse.apply(
+        v, f, c, m, training=False, mutable=["batch_stats"]))(
+        vs, jnp.array(feats), jnp.array(coords), jnp.array(mask))
+    out_d, _ = jax.jit(lambda v, f, c, m: enc_dense.apply(
+        v, f, c, m, training=False, mutable=["batch_stats"]))(
+        vs, jnp.array(feats), jnp.array(coords), jnp.array(mask))
+    # dense convs reassociate accumulation; differences are fp noise
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               rtol=1e-2, atol=3e-3)
