@@ -105,8 +105,19 @@ class BEVFusion(nn.Module):
         fH, fW, fC = feats.shape[1:]
         feats = feats.reshape(B, N, fH, fW, fC)
         mats = {k: batch[k] for k in MAT_KEYS if k in batch}
+        vt_type = (self.encoders["camera"]["vtransform"] or {}).get("type", "")
+        pts_key, msk_key = "points", "points_mask"
+        if (self.encoders["camera"]["vtransform"] or {}).get("use_points") == "radar":
+            pts_key, msk_key = "radar", "radar_mask"
+        if vt_type in ("BEVDepth", "AwareBEVDepth", "DBEVDepth", "AwareDBEVDepth"):
+            # depth-supervised vtransforms (reference bevfusion.py:96,316)
+            return self.camera_vtransform(
+                feats, batch.get(pts_key), batch.get(msk_key), mats,
+                training=training, gt_depths=batch.get("depths"),
+                depth_loss=training and batch.get("depths") is not None,
+            )
         return self.camera_vtransform(
-            feats, batch.get("points"), batch.get("points_mask"), mats,
+            feats, batch.get(pts_key), batch.get(msk_key), mats,
             training=training,
         )
 
@@ -128,15 +139,34 @@ class BEVFusion(nn.Module):
         return self.lidar_backbone(feats.astype(self.dtype), coords_xyz, mask,
                                    training=training)
 
+    def extract_radar_features(self, batch, training):
+        feats, coords, sizes, mask = self.radar_voxelize(
+            batch["radar"], batch["radar_mask"], training=training
+        )
+        B = batch["radar"].shape[0]
+        M = feats.shape[0] // B
+        coords_xyz = coords.reshape(B, M, 4)[..., 1:]
+        mask = mask.reshape(B, M)
+        table = feats.reshape((B, M) + feats.shape[1:]).astype(self.dtype)
+        return self.radar_backbone(
+            table, coords_xyz, mask, sizes.reshape(B, M), training=training
+        )
+
     # -- full forward ----------------------------------------------------
 
     def __call__(self, batch: Dict[str, jnp.ndarray], training: bool = False):
         enc = self.encoders or {}
         features = []
+        aux_losses = {}
         if enc.get("camera") is not None:
-            features.append(self.extract_camera_features(batch, training))
+            feat = self.extract_camera_features(batch, training)
+            if isinstance(feat, tuple):  # BEVDepth-style (bev, depth_loss)
+                feat, aux_losses["loss/depth"] = feat
+            features.append(feat)
         if enc.get("lidar") is not None:
             features.append(self.extract_lidar_features(batch, training))
+        if enc.get("radar") is not None:
+            features.append(self.extract_radar_features(batch, training))
 
         if self.fuser is not None:
             x = self.fuser_module(features, training=training)
@@ -168,6 +198,7 @@ class BEVFusion(nn.Module):
                         outputs[f"stats/{name}/{k}"] = v
                     else:
                         outputs[f"loss/{name}/{k}"] = v * scale
+            outputs.update(aux_losses)  # e.g. BEVDepth depth loss
             return outputs
 
         outputs = {}
