@@ -217,3 +217,124 @@ class LoadBEVSegmentation:
                 out[k] = np.maximum(out[k], masks[idx].astype(np.float32))
         data["gt_masks_bev"] = out
         return data
+
+
+def reduce_lidar_beams(pts: np.ndarray, reduce_beams_to: int = 32) -> np.ndarray:
+    """Subsample the 32-beam nuScenes lidar to 16/4/1 beams by elevation
+    band (loading_utils.py:58+)."""
+    if reduce_beams_to >= 32:
+        return pts
+    radius = np.sqrt((pts[:, :3] ** 2).sum(-1))
+    theta = np.arcsin(np.clip(pts[:, 2] / np.maximum(radius, 1e-9), -1, 1))
+    beam_range = np.zeros(32, np.float32)
+    beam_range[0] = 0.1862
+    for i in range(1, 32):
+        beam_range[i] = beam_range[i - 1] - 0.023275
+    beam_range[31] = -0.5353
+    ids = {16: range(1, 32, 2), 4: [7, 9, 11, 13], 1: [9]}[reduce_beams_to]
+    mask = np.zeros(len(pts), bool)
+    for bid in ids:
+        mask |= (theta < (beam_range[bid - 1] - 0.012)) & (
+            theta > (beam_range[bid] - 0.012))
+    return pts[mask]
+
+
+@PIPELINES.register()
+class LoadRadarPointsMultiSweeps:
+    """Load + aggregate nuScenes radar sweeps (loading.py:576-793):
+    per-radar sweeps are transformed into the keyframe lidar frame,
+    velocities rotated (and optionally used to compensate point motion
+    over the time lag), dynprop/ambig/invalid states one-hot/ordinal
+    encoded, then padded/dropped to ``max_num`` points."""
+
+    def __init__(self, load_dim=18, use_dim=(0, 1, 2, 3, 4), sweeps_num=3,
+                 max_num=300, pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+                 compensate_velocity=False,
+                 normalize_dims=((3, 0, 50), (4, -100, 100), (5, -100, 100)),
+                 filtering="default", normalize=False, test_mode=False):
+        self.load_dim = load_dim
+        self.use_dim = list(use_dim)
+        self.sweeps_num = sweeps_num
+        self.max_num = max_num
+        self.compensate_velocity = compensate_velocity
+        self.normalize_dims = normalize_dims
+        self.filtering = filtering
+        self.normalize = normalize
+
+    _ENCODINGS = (
+        (3, "one-hot", 8),    # dynprop
+        (11, "one-hot", 5),   # ambig_state
+        (14, "one-hot", 18),  # invalid_state
+        (15, "ordinal", 7),   # pdh
+        (0, "nusc-filter", 1),
+    )
+
+    def _load(self, path):
+        from nuscenes.utils.data_classes import RadarPointCloud
+
+        inv, dyn, amb = {
+            "default": ([0], range(7), [3]),
+            "none": (range(18), range(8), range(5)),
+        }[self.filtering]
+        rpc = RadarPointCloud.from_file(path, inv, dyn, amb)
+        return rpc.points.T.astype(np.float32)
+
+    def _encode(self, points):
+        for idx, etype, dims in self._ENCODINGS:
+            feat = points[:, idx]
+            enc = np.zeros((points.shape[0], dims), np.float32)
+            if etype == "one-hot":
+                enc[np.arange(len(feat)), np.clip(np.rint(feat).astype(int), 0, dims - 1)] = 1
+            elif etype == "ordinal":
+                for i in range(dims):
+                    enc[:, i] = (np.rint(feat) > i).astype(np.float32)
+            else:  # nusc-filter
+                m = (points[:, 14] == 0) & (points[:, 3] < 7) & (points[:, 11] == 3)
+                enc[m, 0] = 1
+            points = np.concatenate([points, enc], axis=1)
+        return points
+
+    def __call__(self, data):
+        sweeps_per_radar = data["radar"]
+        clouds = []
+        for _, sweeps in sweeps_per_radar.items():
+            n = min(len(sweeps), self.sweeps_num)
+            ts = sweeps[0]["timestamp"] * 1e-6
+            for idx in range(n):
+                sweep = sweeps[idx]
+                pts = self._load(sweep["data_path"]).reshape(-1, self.load_dim)
+                dt = np.full((len(pts), 1), ts - sweep["timestamp"] * 1e-6, np.float32)
+                R = np.asarray(sweep["sensor2lidar_rotation"], np.float32)
+                t = np.asarray(sweep["sensor2lidar_translation"], np.float32)
+
+                def rot2(v):
+                    v3 = np.concatenate([v, np.zeros((len(v), 1), np.float32)], 1)
+                    return (v3 @ R.T)[:, :2]
+
+                velo = rot2(pts[:, 6:8])
+                velo_comp = rot2(pts[:, 8:10])
+                pts[:, :3] = pts[:, :3] @ R.T + t
+                if self.compensate_velocity:
+                    pts[:, :2] += velo_comp * dt
+                clouds.append(np.concatenate(
+                    [pts[:, :6], velo, velo_comp, pts[:, 10:], dt], axis=1))
+        points = np.concatenate(clouds, axis=0)
+        points = self._encode(points)[:, self.use_dim]
+        if self.normalize:
+            for dim, lo, hi in self.normalize_dims:
+                points[:, dim] = (points[:, dim] - lo) / (hi - lo)
+        # pad/drop to max_num (loading.py:680-709)
+        n = len(points)
+        out = np.zeros((self.max_num, points.shape[1]), np.float32)
+        m = np.zeros((self.max_num,), bool)
+        k = min(n, self.max_num)
+        if n > self.max_num:
+            sel = np.random.permutation(n)[: self.max_num]
+            out[:] = points[sel]
+            m[:] = True
+        else:
+            out[:k] = points[:k]
+            m[:k] = True
+        data["radar"] = out
+        data["radar_mask"] = m
+        return data

@@ -2,6 +2,7 @@
 from . import fusers  # noqa: F401
 from . import necks  # noqa: F401
 from . import pillar_encoder  # noqa: F401
+from . import pointnet_modules  # noqa: F401
 from . import resnet  # noqa: F401
 from . import resnet_full  # noqa: F401
 from . import second  # noqa: F401

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from .iou3d import iou_bev
 
-__all__ = ["circle_nms_mask", "nms_bev_mask"]
+__all__ = ["circle_nms_mask", "nms_bev_mask", "box3d_multiclass_nms_mask",
+           "aligned_3d_nms_mask"]
 
 
 def _greedy_suppress(order, suppress_pair):
@@ -59,5 +60,45 @@ def nms_bev_mask(boxes_bev, scores, valid, iou_threshold):
     b = boxes_bev[order]
     iou = iou_bev(b, b)
     sup = iou > iou_threshold
+    keep = _greedy_suppress(order, sup)
+    return keep & valid
+
+
+def box3d_multiclass_nms_mask(boxes_bev, scores, valid, score_thr,
+                              iou_threshold, max_num=None):
+    """Per-class rotated NMS over multi-class score matrix
+    (core/post_processing/box3d_nms.py:8 box3d_multiclass_nms).
+
+    boxes_bev [N, 5]; scores [N, num_classes] (no background column).
+    Returns (keep mask [N, num_classes]) — static-shape form of the
+    reference's per-class concat; pair each kept (box, class).
+    """
+    num_classes = scores.shape[1]
+    keeps = []
+    for c in range(num_classes):
+        s = scores[:, c]
+        m = valid & (s > score_thr)
+        keeps.append(nms_bev_mask(boxes_bev, s, m, iou_threshold))
+    keep = jnp.stack(keeps, axis=1)
+    if max_num is not None:
+        flat = jnp.where(keep, scores, -jnp.inf).reshape(-1)
+        rank = jnp.argsort(jnp.argsort(-flat))
+        keep = keep & (rank.reshape(keep.shape) < max_num)
+    return keep
+
+
+def aligned_3d_nms_mask(boxes, scores, classes, valid, thresh):
+    """Axis-aligned 3D IoU NMS (box3d_nms.py:129 aligned_3d_nms):
+    boxes [N, 6] = (x1, y1, z1, x2, y2, z2); suppression only within the
+    same class. Returns keep mask."""
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    b = boxes[order]
+    cls_s = classes[order]
+    mins = jnp.maximum(b[:, None, :3], b[None, :, :3])
+    maxs = jnp.minimum(b[:, None, 3:], b[None, :, 3:])
+    inter = jnp.prod(jnp.maximum(maxs - mins, 0.0), axis=-1)
+    vol = jnp.prod(jnp.maximum(b[:, 3:] - b[:, :3], 0.0), axis=-1)
+    iou = inter / jnp.maximum(vol[:, None] + vol[None] - inter, 1e-6)
+    sup = (iou > thresh) & (cls_s[:, None] == cls_s[None])
     keep = _greedy_suppress(order, sup)
     return keep & valid

@@ -211,12 +211,18 @@ class Voxelization:
 
     def __call__(self, points, points_mask, training: bool = False):
         max_voxels = self.max_voxels_train if training else self.max_voxels_test
+        # max_num_points <= 0 selects dynamic voxelization (the reference
+        # builds DynamicScatter then, bevfusion.py:45-48): reduce over
+        # ALL points of a voxel, no per-voxel cap
+        max_points = self.max_num_points
+        if max_points is None or max_points <= 0:
+            max_points = int(points.shape[-2])
         return voxelize_batch(
             points,
             points_mask,
             self.voxel_size,
             self.point_cloud_range,
-            self.max_num_points,
+            max_points,
             max_voxels,
             self.reduce,
         )
