@@ -126,3 +126,41 @@ class HungarianAssigner3D:
             if p >= 0:
                 max_ov[p] = iou_np[p, g]
         return AssignResult(G, gt_inds, max_ov, labels)
+
+
+@BBOX_ASSIGNERS.register()
+class HeuristicAssigner3D:
+    """Nearest-center heuristic assigner
+    (core/bbox/assigners/hungarian_assigner.py:38-80): each GT matches
+    its nearest same-class prediction within dist_thre meters."""
+
+    def __init__(self, dist_thre: float = 100.0, iou_calculator=None):
+        self.dist_thre = float(dist_thre)
+
+    def assign(self, bboxes, gt_bboxes, gt_bboxes_ignore=None, gt_labels=None,
+               query_labels=None):
+        bboxes = np.asarray(bboxes)
+        gt = np.asarray(gt_bboxes)
+        G, P = len(gt), len(bboxes)
+        dist = np.linalg.norm(
+            bboxes[None, :, :2] - gt[:, None, :2], axis=-1)  # [G, P]
+        if query_labels is not None and gt_labels is not None:
+            diff = np.asarray(query_labels)[None] != np.asarray(gt_labels)[:, None]
+            dist = dist + diff * self.dist_thre
+        gt_inds = np.zeros((P,), np.int64)
+        vals = np.full((P,), 1e4)
+        labels = np.full((P,), -1, np.int64)
+        for g in range(G):
+            p = int(np.argmin(dist[g]))
+            if dist[g, p] <= self.dist_thre and dist[g, p] < vals[p]:
+                vals[p] = dist[g, p]
+                gt_inds[p] = g + 1
+                if gt_labels is not None:
+                    labels[p] = int(np.asarray(gt_labels)[g])
+        max_ov = np.zeros((P,), np.float32)
+        m = gt_inds > 0
+        if m.any():
+            iou = np.asarray(iou_3d(
+                jnp.asarray(bboxes[m][:, :7]), jnp.asarray(gt[:, :7])))
+            max_ov[m] = iou[np.arange(m.sum()), gt_inds[m] - 1]
+        return AssignResult(G, gt_inds, max_ov, labels)
