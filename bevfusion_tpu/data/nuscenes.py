@@ -186,6 +186,17 @@ class NuScenesDataset:
         return data
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        """prepare_train_data semantics incl. the retry-on-empty-GT loop
+        (custom_3d.py:284-297): training samples without GT are skipped."""
+        for _ in range(len(self)):
+            sample = self._get_single(idx)
+            if self.test_mode or sample.get("gt_valid") is None or \
+                    bool(np.asarray(sample["gt_valid"]).any()):
+                return sample
+            idx = (idx + 1) % len(self)
+        return sample
+
+    def _get_single(self, idx: int) -> Dict[str, Any]:
         data = self.get_data_info(idx)
         data["img_aug_matrix"] = np.tile(
             np.eye(4, dtype=np.float32),
@@ -197,8 +208,6 @@ class NuScenesDataset:
         )
         for t in self.pipeline:
             data = t(data)
-            if data is None:
-                return self[(idx + 1) % len(self)]
         data.pop("_rng", None)
         return data
 
