@@ -21,6 +21,7 @@ from .points import LiDARPoints
 __all__ = [
     "LoadMultiViewImageFromFiles", "LoadPointsFromFile",
     "LoadPointsFromMultiSweeps", "LoadAnnotations3D", "LoadBEVSegmentation",
+    "load_augmented_point_cloud", "reduce_lidar_beams",
 ]
 
 
@@ -31,8 +32,54 @@ def _imread(path: str) -> np.ndarray:
 
 
 def _load_points_bin(path: str, load_dim: int) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path).reshape(-1, load_dim)
     pts = np.fromfile(path, dtype=np.float32)
     return pts.reshape(-1, load_dim)
+
+
+def load_augmented_point_cloud(path: str, virtual: bool = False,
+                               reduce_beams: int = 32) -> np.ndarray:
+    """MVP / PointPainting augmented point cloud (file-layout contract
+    from the reference, loading_utils.py:9-55): next to the raw .bin at
+    <root>/<a>/<b>/<file>, a painted-points dict lives at
+    <root>/virtual_points/<a>/<b>_VIRTUAL[_<K>BEAMS]/<file>.pkl.npy with
+    keys real_points [Nr, Dp], virtual_points [Nv, Dp-1] (no reflectance)
+    and real_points_indice [Nr].
+
+    Output columns: raw 5-dim points are widened with ones to the painted
+    width + 1 "realness" flag; painted real points (flag 0) overwrite
+    their raw rows by index; with ``virtual`` the virtual points (zero
+    reflectance inserted at column 3, flag -1) are appended.
+    """
+    points = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
+    parts = path.split("/")
+    suffix = "_VIRTUAL" if reduce_beams == 32 else f"_VIRTUAL_{reduce_beams}BEAMS"
+    aug_path = os.path.join(
+        *parts[:-3], "virtual_points", parts[-3], parts[-2] + suffix,
+        parts[-1] + ".pkl.npy")
+    if path.startswith(os.sep):
+        aug_path = os.sep + aug_path
+    data = np.load(aug_path, allow_pickle=True).item()
+
+    real = np.asarray(data["real_points"], np.float32)
+    virt = np.asarray(data["virtual_points"], np.float32)
+    # virtual points carry no reflectance: insert a zero column at dim 3
+    virt = np.concatenate(
+        [virt[:, :3], np.zeros((len(virt), 1), np.float32), virt[:, 3:]], axis=1)
+
+    width = real.shape[1] + 1  # painted dims + realness flag
+    out = np.concatenate(
+        [points, np.ones((len(points), width - points.shape[1]), np.float32)],
+        axis=1)
+    real = np.concatenate([real, np.zeros((len(real), 1), np.float32)], axis=1)
+    idx = np.asarray(data["real_points_indice"], np.int64)
+    if idx.size:
+        out[idx] = real
+    if virtual:
+        virt = np.concatenate([virt, -np.ones((len(virt), 1), np.float32)], axis=1)
+        out = np.concatenate([out, virt], axis=0)
+    return out.astype(np.float32)
 
 
 @PIPELINES.register()
@@ -59,7 +106,15 @@ class LoadPointsFromFile:
         self.load_augmented = load_augmented
 
     def __call__(self, data: Dict[str, Any]):
-        pts = _load_points_bin(data["lidar_path"], self.load_dim)
+        if self.load_augmented:
+            assert self.load_augmented in ("pointpainting", "mvp")
+            pts = load_augmented_point_cloud(
+                data["lidar_path"], virtual=self.load_augmented == "mvp",
+                reduce_beams=self.reduce_beams or 32)
+        else:
+            pts = _load_points_bin(data["lidar_path"], self.load_dim)
+        if self.reduce_beams and self.reduce_beams < 32:
+            pts = reduce_lidar_beams(pts, self.reduce_beams)
         pts = pts[:, self.use_dim]
         data["points"] = LiDARPoints(pts, pts.shape[1])
         return data
@@ -82,6 +137,8 @@ class LoadPointsFromMultiSweeps:
         self.pad_empty_sweeps = pad_empty_sweeps
         self.remove_close = remove_close
         self.test_mode = test_mode
+        self.reduce_beams = reduce_beams
+        self.load_augmented = load_augmented
 
     @staticmethod
     def _remove_close(pts: np.ndarray, radius: float = 1.0) -> np.ndarray:
@@ -111,7 +168,15 @@ class LoadPointsFromMultiSweeps:
                 choices = rng.choice(len(sweeps), self.sweeps_num, replace=False)
             for i in choices:
                 sweep = sweeps[i]
-                pts = _load_points_bin(sweep["data_path"], self.load_dim)
+                if self.load_augmented:
+                    pts = load_augmented_point_cloud(
+                        sweep["data_path"],
+                        virtual=self.load_augmented == "mvp",
+                        reduce_beams=self.reduce_beams or 32)
+                else:
+                    pts = _load_points_bin(sweep["data_path"], self.load_dim)
+                if self.reduce_beams and self.reduce_beams < 32:
+                    pts = reduce_lidar_beams(pts, self.reduce_beams)
                 pts = pts[:, self.use_dim] if len(self.use_dim) != pts.shape[1] else pts
                 if self.remove_close:
                     pts = self._remove_close(pts)

@@ -225,9 +225,12 @@ class CenterHead(nn.Module):
             )
 
             if nms_types[t] == "circle":
+                # reference circle_nms compares min_radius against the
+                # SQUARED center distance (box3d_nms.py:216-218,
+                # centerpoint.py:711-713) — pass it through unsquared.
                 r = tcfg["min_radius"][t]
                 keep = jax.vmap(
-                    lambda b, s, m: circle_nms_mask(b[:, :2], s, m, r**2)
+                    lambda b, s, m: circle_nms_mask(b[:, :2], s, m, r)
                 )(boxes, scores, mask)
                 # post_max_size: keep only top-k among survivors
                 pm = tcfg.get("post_max_size", 83)

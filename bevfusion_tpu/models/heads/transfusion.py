@@ -313,14 +313,39 @@ class TransFusionHead(nn.Module):
             dec["bboxes"], dec["scores"], dec["labels"], dec["mask"]
         )
 
-        nms_type = (self.test_cfg or {}).get("nms_type")
+        test_cfg = self.test_cfg or {}
+        nms_type = test_cfg.get("nms_type")
         if nms_type is not None:
-            # nuScenes per-task circle NMS (pedestrian/traffic_cone r=0.175)
+            # per-class-group NMS driven by test_cfg (reference
+            # transfusion.py:751-834): the dataset selects the task
+            # table; radius > 0 runs circle-NMS (nms_type 'circle',
+            # radius in meters) or rotated-IoU NMS (otherwise, radius is
+            # the IoU threshold); radius <= 0 keeps the whole group.
+            dataset = test_cfg.get("dataset", "nuScenes")
+            if dataset == "nuScenes":
+                tasks = [((0, 1, 2, 3, 4, 5, 6, 7), -1.0),
+                         ((8,), 0.175), ((9,), 0.175)]
+            elif dataset == "Waymo":
+                tasks = [((0,), 0.7), ((1,), 0.7), ((2,), 0.7)]
+            else:
+                raise ValueError(f"unknown test_cfg dataset {dataset!r}")
+
             def one(b, s, l, m):
-                keep = m
-                for indices, radius in (((8,), 0.175), ((9,), 0.175)):
+                keep = jnp.zeros_like(m)
+                for indices, radius in tasks:
                     tmask = jnp.isin(l, jnp.asarray(indices)) & m
-                    k = circle_nms_mask(b[:, :2], s, tmask, radius**2)
+                    if radius > 0:
+                        if nms_type == "circle":
+                            # reference circle_nms compares its thresh
+                            # against the SQUARED distance
+                            # (box3d_nms.py:216-218), so the task radius
+                            # is already in d^2 units — do not square.
+                            k = circle_nms_mask(b[:, :2], s, tmask, radius)
+                        else:
+                            bev = b[:, jnp.asarray([0, 1, 3, 4, 6])]
+                            k = nms_bev_mask(bev, s, tmask, radius)
+                    else:
+                        k = tmask
                     keep = jnp.where(tmask, k, keep)
                 return keep
             mask = jax.vmap(one)(boxes, scores, labels, mask)

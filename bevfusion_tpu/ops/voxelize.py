@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["VoxelizationOutput", "voxelize", "voxelize_batch", "Voxelization"]
+__all__ = ["VoxelizationOutput", "voxelize", "voxelize_batch", "Voxelization",
+           "DynamicScatter", "dynamic_scatter"]
 
 
 class VoxelizationOutput(NamedTuple):
@@ -116,9 +117,12 @@ def voxelize(
     coords = jnp.stack([vx, vy, vz], axis=-1).astype(jnp.int32)
     coords = jnp.where(vmask[:, None], coords, -1)
 
-    if reduce == "mean":
-        # mean over the first max_points points of each voxel, without
-        # materializing the [M, max_points, C] buffer
+    if reduce in ("mean", "sum", "max"):
+        # reduce over the first max_points points of each voxel, without
+        # materializing the [M, max_points, C] buffer. With
+        # max_points >= P this is exactly DynamicScatter's uncapped
+        # mean/sum/max over all points of a voxel
+        # (reference ops/voxel/scatter_points.py:8-104).
         pos_in_seg = jnp.arange(P, dtype=jnp.int32) - jnp.take(
             starts, jnp.clip(seg_of_point, 0, M - 1)
         )
@@ -128,10 +132,15 @@ def voxelize(
             & (jnp.take(ids_s, jnp.arange(P)) < num_cells)
         )
         pts_s = jnp.take(points, order, axis=0)
-        vals = jnp.where(use[:, None], pts_s, 0.0)
         seg = jnp.where(use, seg_of_point, M)
-        sums = jax.ops.segment_sum(vals, seg, num_segments=M + 1)[:-1]
-        feats = sums / jnp.maximum(stored, 1)[:, None]
+        if reduce == "max":
+            vals = jnp.where(use[:, None], pts_s, -jnp.inf)
+            feats = jax.ops.segment_max(vals, seg, num_segments=M + 1)[:-1]
+        else:
+            vals = jnp.where(use[:, None], pts_s, 0.0)
+            feats = jax.ops.segment_sum(vals, seg, num_segments=M + 1)[:-1]
+            if reduce == "mean":
+                feats = feats / jnp.maximum(stored, 1)[:, None]
         feats = jnp.where(vmask[:, None], feats, 0.0)
         return VoxelizationOutput(feats, coords, stored, vmask)
 
@@ -183,6 +192,86 @@ def voxelize_batch(
         flat(out.num_points),
         flat(out.mask),
     )
+
+
+def dynamic_scatter(feats, coords, valid, grid_dims, max_voxels: int,
+                    reduce: str = "mean"):
+    """DynamicScatter core (reference ops/voxel/scatter_points.py:8-104 +
+    src/scatter_points_cuda.cu:88-197): reduce arbitrary per-point
+    features over unique voxel coords.
+
+    feats [P, C]; coords [P, 3] int (x, y, z); valid [P] bool;
+    grid_dims (nx, ny, nz). Returns (voxel_feats [max_voxels, C],
+    voxel_coords [max_voxels, 3] int32 (-1 padding), mask [max_voxels]).
+    Reduce modes: mean / sum / max. Static-shape: at most ``max_voxels``
+    unique voxels are kept (smallest linearized ids survive).
+    """
+    nx, ny, nz = (int(d) for d in grid_dims)
+    num_cells = nx * ny * nz
+    P = feats.shape[0]
+    cx, cy, cz = coords[:, 0], coords[:, 1], coords[:, 2]
+    ok = (
+        valid & (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+        & (cz >= 0) & (cz < nz)
+    )
+    ids = jnp.where(ok, (cx * ny + cy) * nz + cz, num_cells)
+
+    order = jnp.argsort(ids, stable=True)
+    ids_s = jnp.take(ids, order)
+    feats_s = jnp.take(feats, order, axis=0)
+
+    M = max_voxels
+    headb = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    seg = jnp.cumsum(headb.astype(jnp.int32)) - 1
+    use = (seg < M) & (ids_s < num_cells)
+    seg_c = jnp.where(use, seg, M)
+
+    counts = jax.ops.segment_sum(use.astype(jnp.int32), seg_c, num_segments=M + 1)[:-1]
+    vmask = counts > 0
+    if reduce == "max":
+        vals = jnp.where(use[:, None], feats_s, -jnp.inf)
+        out = jax.ops.segment_max(vals, seg_c, num_segments=M + 1)[:-1]
+    else:
+        vals = jnp.where(use[:, None], feats_s, 0.0)
+        out = jax.ops.segment_sum(vals, seg_c, num_segments=M + 1)[:-1]
+        if reduce == "mean":
+            out = out / jnp.maximum(counts, 1)[:, None]
+    out = jnp.where(vmask[:, None], out, 0.0)
+
+    vox_ids = (
+        jnp.full((M + 1,), num_cells, jnp.int32)
+        .at[jnp.where(headb & use, seg_c, M)]
+        .set(ids_s.astype(jnp.int32), mode="drop", unique_indices=True)[:M]
+    )
+    vx = vox_ids // (ny * nz)
+    vy = (vox_ids // nz) % ny
+    vz = vox_ids % nz
+    vcoords = jnp.where(
+        vmask[:, None], jnp.stack([vx, vy, vz], -1).astype(jnp.int32), -1
+    )
+    return out, vcoords, vmask
+
+
+class DynamicScatter:
+    """Reference-shaped wrapper (ops/voxel/scatter_points.py:96-104):
+    ``average_points`` True -> mean, False -> max."""
+
+    def __init__(self, voxel_size, point_cloud_range, average_points: bool,
+                 max_voxels: int = 65536):
+        self.voxel_size = tuple(voxel_size)
+        self.point_cloud_range = tuple(point_cloud_range)
+        self.average_points = average_points
+        self.max_voxels = max_voxels
+
+    def __call__(self, points, points_mask):
+        """points [P, C] with xyz leading -> (feats, coords, mask)."""
+        nx, ny, nz = _grid_dims(self.point_cloud_range, self.voxel_size)
+        pcr = jnp.asarray(self.point_cloud_range, jnp.float32)
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        cf = jnp.floor((points[:, :3] - pcr[:3]) / vs).astype(jnp.int32)
+        return dynamic_scatter(
+            points, cf, points_mask, (nx, ny, nz), self.max_voxels,
+            "mean" if self.average_points else "max")
 
 
 class Voxelization:

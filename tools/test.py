@@ -42,37 +42,11 @@ def main():
         "batch_stats": state.get("batch_stats", {}),
     }
 
-    @jax.jit
-    def infer(batch):
-        out, _ = model.apply(variables, batch, training=False,
-                             mutable=["batch_stats"])
-        return out
-
-    results = []
-    for np_batch in loader:
-        gt_masks = np_batch.pop("gt_masks_bev", None)
-        np_batch.pop("metas", None)
-        batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
-        out = jax.device_get(infer(batch))
-        B = next(iter(batch.values())).shape[0]
-        for b in range(B):
-            res = {}
-            if "boxes" in out:
-                m = out["boxes"]["mask"][b]
-                res["boxes_3d"] = out["boxes"]["bboxes"][b][m]
-                res["scores_3d"] = out["boxes"]["scores"][b][m]
-                res["labels_3d"] = out["boxes"]["labels"][b][m]
-            if "masks_bev" in out:
-                res["masks_bev"] = out["masks_bev"][b].transpose(2, 0, 1)
-                if gt_masks is not None:
-                    res["gt_masks_bev"] = gt_masks[b]
-            results.append(res)
+    from bevfusion_tpu.runtime.eval import evaluate_dataset
 
     os.makedirs(args.out_dir, exist_ok=True)
-    if args.eval == "map":
-        metrics = dataset.evaluate_map(results)
-    else:
-        metrics = dataset.evaluate_detection(results, args.out_dir)
+    metrics = evaluate_dataset(model, variables, dataset, loader,
+                               metric=args.eval, out_dir=args.out_dir)
     for k, v in metrics.items():
         print(f"{k}: {v:.4f}")
 

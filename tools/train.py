@@ -37,6 +37,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # multi-host: rendezvous before any backend use (the reference's MPI
+    # dist.init(), tools/train.py:21). Single-host runs skip this — GSPMD
+    # over local devices needs no process group.
+    if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1):
+        jax.distributed.initialize()
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -110,6 +118,19 @@ def main():
     step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
     logger = MetricLogger(run_dir, interval=cfg.get("logging", {}).get("interval", 50))
 
+    # per-epoch val eval (reference DistEvalHook, apis/train.py:99-120):
+    # run the metric every `interval` epochs, keep the best checkpoint
+    eval_cfg = cfg.get("evaluation") or {}
+    eval_interval = int(eval_cfg.get("interval", 1))
+    val_loader = val_dataset = None
+    if cfg.get("data", {}).get("val") and not eval_cfg.get("disable", False):
+        from bevfusion_tpu.runtime.eval import evaluate_dataset
+
+        val_dataset = build_dataset(cfg.data.val)
+        val_loader = DataLoader(val_dataset, batch_size=1, shuffle=False,
+                                num_workers=2, drop_last=False)
+    best_score, best_key = None, eval_cfg.get("save_best", "mAP")
+
     for epoch in range(start_epoch, max_epochs):
         loader.set_epoch(epoch)
         for it, np_batch in enumerate(loader):
@@ -123,6 +144,18 @@ def main():
             jax.device_get(state),
             keep=cfg.get("checkpoint", {}).get("max_keep", 1),
         )
+        if val_loader is not None and (epoch + 1) % eval_interval == 0:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            metrics = evaluate_dataset(
+                model, variables, val_dataset, val_loader,
+                metric=eval_cfg.get("metric", "bbox"),
+                out_dir=os.path.join(run_dir, f"eval_epoch_{epoch + 1}"))
+            logger.log_eval(epoch, metrics)
+            score = metrics.get(best_key)
+            if score is not None and (best_score is None or score > best_score):
+                best_score = score
+                save_checkpoint(os.path.join(run_dir, "best"),
+                                jax.device_get(state), keep=1)
     print("training complete:", run_dir)
 
 
