@@ -238,22 +238,27 @@ def subm_gather_gemm(feats, nbr, weight):
     """Gather-GEMM conv: feats [cap_in, Cin], nbr [cap_out, K] (indices
     into feats, -1 on miss), weight [K, Cin, Cout] -> [cap_out, Cout].
 
-    K gathers + K MXU matmuls via lax.scan over the kernel offsets — the
-    TPU form of the reference's gather-GEMM-scatter
-    (spconv_ops.h:319-356); no scatter is needed because each output row
-    owns its accumulation. Used for both submanifold (cap_out == cap_in)
-    and regular strided convs. scan keeps the HLO size O(1) in K.
+    ONE site-major take of all K·cap_out neighbor rows, then ONE MXU
+    matmul [cap_out, K*Cin] @ [K*Cin, Cout] — the TPU form of the
+    reference's gather-GEMM-scatter (spconv_ops.h:319-356); no scatter is
+    needed because each output row owns its accumulation. Used for both
+    submanifold (cap_out == cap_in) and regular strided convs.
+
+    Measured (v5e, 160k sites, k=3^3): the previous lax.scan of 27
+    separate gather+GEMM steps serialized the gathers (16 ms at 16ch,
+    46 ms at 32ch bf16); the single flat take runs at the descriptor
+    rate regardless of channel width/dtype (~13 ms), and the fused
+    [K*Cin] contraction replaces 27 tiny matmuls with one MXU-shaped one.
     """
-    Cout = weight.shape[-1]
-
-    def step(acc, kw):
-        idx, w = kw
-        g = jnp.take(feats, jnp.maximum(idx, 0), axis=0)
-        g = jnp.where((idx >= 0)[:, None], g, 0.0)
-        return acc + jnp.dot(g, w, preferred_element_type=jnp.float32), None
-
-    init = jnp.zeros((nbr.shape[0], Cout), jnp.float32)
-    out, _ = jax.lax.scan(step, init, (nbr.T, weight))
+    K, Cin, Cout = weight.shape
+    idx = jnp.maximum(nbr, 0).reshape(-1)
+    g = jnp.take(feats, idx, axis=0)  # [cap_out*K, Cin], site-major
+    g = jnp.where((nbr.reshape(-1) >= 0)[:, None], g, 0)
+    g = g.reshape(nbr.shape[0], K * Cin)
+    out = jnp.dot(
+        g, weight.reshape(K * Cin, Cout).astype(g.dtype),
+        preferred_element_type=jnp.float32,
+    )
     return out.astype(feats.dtype)
 
 

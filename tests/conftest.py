@@ -8,10 +8,18 @@ spawn a subprocess with the flag instead (see test_parallel.py).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: this environment ships JAX_PLATFORMS=axon (a tunneled
+# TPU) and pre-imports jax via sitecustomize, so setdefault would leave
+# the whole suite running on the TPU backend.  Set BEVF_TEST_TPU=1 to
+# run the (tpu-marked) kernel tests on the real chip instead.
+ON_TPU = os.environ.get("BEVF_TEST_TPU") == "1"
+if not ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: the big fused-model graphs take minutes to
 # compile on CPU XLA; cache them across pytest runs
