@@ -1,5 +1,6 @@
 """End-to-end BEVFusion model tests on tiny shapes (CPU-friendly)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -139,6 +140,7 @@ def make_batch(B=1, N=2, P=512, G=4, seed=0):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+@pytest.mark.slow
 def test_fused_detection_forward_and_loss():
     model = build_model(tiny_fused_config())
     batch = make_batch()

@@ -1,0 +1,74 @@
+"""Checkpoint adapter: reference state_dict -> flax tree, exhaustively.
+
+The torch side is tests/torch_ref/skeleton.py — a plain-torch replica
+of the released checkpoints' module tree (exact key names + shapes).
+`load_reference_weights` must consume every torch key and fill every
+flax parameter of the flagship model (VERDICT r1 item 4).
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from bevfusion_tpu.runtime.adapter import (flax_to_torch_key,
+                                           load_reference_weights)
+
+
+@pytest.fixture(scope="module")
+def flagship_variables():
+    from bevfusion_tpu.runtime.flagship import build_flagship
+
+    cfg, model, batch = build_flagship(batch_size=1, dtype=jnp.float32,
+                                       num_points=1000)
+    return jax.eval_shape(
+        lambda b: model.init(jax.random.PRNGKey(0), b, training=False), batch)
+
+
+def _concrete(tree):
+    """ShapeDtypeStruct tree -> zero ndarrays (adapter writes over)."""
+    if hasattr(tree, "keys"):
+        return {k: _concrete(v) for k, v in tree.items()}
+    return np.zeros(tree.shape, np.float32)
+
+
+@pytest.mark.slow
+def test_flagship_mapping_is_exhaustive(flagship_variables):
+    from tests.torch_ref.skeleton import BEVFusionSkeleton
+
+    torch.manual_seed(0)
+    sd = BEVFusionSkeleton().state_dict()
+    variables = {c: _concrete(flagship_variables[c])
+                 for c in ("params", "batch_stats")}
+    new_vars, report = load_reference_weights(variables, sd, strict=False)
+    assert not report["missing"], report["missing"][:10]
+    assert not report["unused"], report["unused"][:10]
+    assert not report["shape_errors"], report["shape_errors"][:10]
+
+    # weights actually landed (not zeros) and layouts transposed
+    pe = new_vars["params"]["camera_backbone"]["patch_embed"]["kernel"]
+    want = sd["encoders.camera.backbone.patch_embed.projection.weight"]
+    np.testing.assert_allclose(pe, want.numpy().transpose(2, 3, 1, 0))
+    bn = new_vars["batch_stats"]["fuser_module"]["fuse"]["Norm_0"]["bn"]["mean"]
+    np.testing.assert_allclose(bn, sd["fuser.1.running_mean"].numpy())
+
+
+def test_single_rules():
+    key, cv = flax_to_torch_key(
+        "camera_backbone/stage2_block4/attn/qkv/kernel")
+    assert key == "encoders.camera.backbone.stages.2.blocks.4.attn.w_msa.qkv.weight"
+    w = torch.randn(1152, 384)
+    assert cv(w).shape == (384, 1152)
+
+    key, _ = flax_to_torch_key("lidar_backbone/stage1_block2_spconv/weight")
+    assert key == ("encoders.lidar.backbone.encoder_layers."
+                   "encoder_layer2.2.0.weight")
+
+    key, _ = flax_to_torch_key("decoder_backbone/block1_conv3/conv/kernel")
+    assert key == "decoder.backbone.blocks.1.9.weight"
+
+    key, cv = flax_to_torch_key("head_modules_object/pred0/center_fc0/kernel")
+    assert key == "heads.object.prediction_heads.0.center.0.weight"
+    assert flax_to_torch_key("nonexistent/path") is None

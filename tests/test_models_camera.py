@@ -18,6 +18,7 @@ from bevfusion_tpu.models.heads.segm import BEVSegmentationHead
 from bevfusion_tpu.models.layers import resize_bilinear
 
 
+@pytest.mark.slow
 def test_swin_tiny_shapes():
     m = SwinTransformer(embed_dims=32, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
                         window_size=4, out_indices=(1, 2, 3))

@@ -1,6 +1,7 @@
 import itertools
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -199,6 +200,7 @@ def test_window_rulebook_matches_generic():
     np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dense_path_matches_sparse_path():
     """dense_from_stage is numerically exact: same params, same input,
     sparse gather path vs dense masked-conv path must agree."""

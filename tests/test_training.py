@@ -1,5 +1,6 @@
 """Training stack tests: optimizer construction, schedules, train step."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +47,7 @@ def test_paramwise_multipliers_and_clip():
     assert u_backbone < u_head * 0.2  # lr_mult 0.1 applied
 
 
+@pytest.mark.slow
 def test_train_step_two_iterations_decrease_loss():
     import sys, os
 
