@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    per_iter = "--per-iter" in sys.argv
     import jax
     import jax.numpy as jnp
 
@@ -51,11 +52,30 @@ def main():
     float(np.asarray(chk))
 
     iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, chk = infer(variables, batch)
-    float(np.asarray(chk))  # one sync at the end; device runs serialize
-    dt = (time.perf_counter() - t0) / iters
+    if per_iter:
+        # per-iteration variance mode: sync (scalar fetch) every iter —
+        # slightly slower absolute numbers, but exposes jitter that the
+        # serialize-and-sync-once default hides
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out, chk = infer(variables, batch)
+            float(np.asarray(chk))
+            times.append(time.perf_counter() - t0)
+        ts = sorted(times)
+        print(json.dumps({
+            "metric": "per_iter_ms",
+            "p50": round(ts[len(ts) // 2] * 1e3, 2),
+            "p90": round(ts[int(len(ts) * 0.9)] * 1e3, 2),
+            "min": round(ts[0] * 1e3, 2), "max": round(ts[-1] * 1e3, 2),
+        }), file=sys.stderr)
+        dt = ts[len(ts) // 2]
+    else:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, chk = infer(variables, batch)
+        float(np.asarray(chk))  # one sync at the end; device runs serialize
+        dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 
     print(json.dumps({

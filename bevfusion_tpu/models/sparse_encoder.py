@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sparse_conv as sp
+from ..ops import sparse_conv_windowed as wg
 from ..registry import BACKBONES
 
 Dtype = Any
@@ -69,6 +70,88 @@ class MaskedBatchNorm(nn.Module):
         y = y * scale + bias
         y = jnp.where(mask[..., None], y, 0.0)
         return y.astype(self.dtype)
+
+
+class PackedMaskedBatchNorm(nn.Module):
+    """MaskedBatchNorm on the windowed engine's packed [B, capP, 128]
+    layout (P = 128/C sites per row). Variable structure/shapes are
+    identical to MaskedBatchNorm (scale/bias/moments all [C]) so
+    checkpoints transfer between engines. Elementwise math stays on the
+    packed layout; only the moment reductions view [..., P, C], which
+    XLA fuses into the reduce."""
+
+    C: int
+    eps: float = 1e-3
+    momentum: float = 0.01
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, packed, site_mask, training: bool = False):
+        """packed [B, capP, 128]; site_mask [B, cap] bool."""
+        C = self.C
+        P = wg.pack_factor(C)
+        B, capP, _ = packed.shape
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        m = jnp.repeat(site_mask.reshape(B, capP, P), C, axis=-1)  # [B, capP, 128]
+        x4 = packed.reshape(B, capP, P, C).astype(jnp.float32)
+        m4 = site_mask.reshape(B, capP, P, 1).astype(jnp.float32)
+        if training:
+            cnt = jnp.maximum(jnp.sum(m4) , 1.0)
+            mean = jnp.sum(x4 * m4, axis=(0, 1, 2)) / cnt
+            var = jnp.sum((x4 - mean) ** 2 * m4, axis=(0, 1, 2)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        inv_t = jnp.tile(inv, P)   # packed lane l = p*C + c -> channel c
+        sh_t = jnp.tile(bias - mean * inv, P)
+        y = packed.astype(jnp.float32) * inv_t + sh_t
+        y = jnp.where(m, y, 0.0)
+        return y.astype(self.dtype)
+
+
+class _WindowedConv(nn.Module):
+    """Windowed Pallas gather-GEMM conv (ops/sparse_conv_windowed.py)
+    over a per-stage WindowedRulebook. Parameter contract identical to
+    _SparseConvNd: one "weight" [K, Cin, Cout] in kernel_offsets order.
+    Cin may exceed the producer's channels (zero-padded input lanes,
+    e.g. the 5-channel voxel features padded to 16)."""
+
+    in_channels: int  # true producer width (the parameter's Cin)
+    out_channels: int
+    num_offsets: int = 27
+    # packed lane width the kernel sees; > in_channels only for the
+    # first conv (5-channel voxel feats ride 16 lanes, zero-padded)
+    lane_channels: int = 0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, packed, wrbs, cap_out: int, slack: int):
+        """packed [B, capP_in, 128]; wrbs = per-sample WindowedRulebook
+        (leaves stacked on axis 0). Returns [B, cap_out/P_out, 128]."""
+        lane_c = self.lane_channels or self.in_channels
+        w = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (self.num_offsets, self.in_channels, self.out_channels),
+        ).astype(jnp.bfloat16)
+        if lane_c != self.in_channels:
+            # zero-padded input lanes pair with zero weight rows
+            w = jnp.pad(w, ((0, 0), (0, lane_c - self.in_channels), (0, 0)))
+        B = packed.shape[0]
+        outs = []
+        for b in range(B):
+            wrb = wg.WindowedRulebook(wrbs.s8[b], wrbs.sel[b], wrbs.overflow[b])
+            outs.append(wg.windowed_gather_gemm(
+                packed[b], wrb, w, self.out_channels, cap_out, slack=slack))
+        return jnp.stack(outs)
 
 
 class _SparseConvNd(nn.Module):
@@ -187,6 +270,14 @@ class SparseEncoder(nn.Module):
     # padding (channels -> 128) would blow activations up 4x (observed
     # OOM at stage 1: bf16[21,720,720,32] padded 4.6x).
     dense_from_stage: int = 2
+    # execution engine: "auto" = windowed Pallas kernels on TPU, the
+    # gather-GEMM + dense-stage path elsewhere; "windowed"/"gather"
+    # force one. All engines share one parameter tree.
+    engine: str = "auto"
+    # windowed-engine neighbor-window slack (x the site block); realistic
+    # lidar scans show zero window overflow at 2 (see
+    # ops/sparse_conv_windowed.py docstring)
+    window_slack: int = 2
     dtype: Dtype = jnp.float32
 
     def _bn(self, name):
@@ -207,6 +298,12 @@ class SparseEncoder(nn.Module):
 
         ids = jax.vmap(lambda c, m: sp.lin_ids(c, grid, m))(coords, mask)
         feats = jnp.where(mask[..., None], voxel_feats, 0.0).astype(self.dtype)
+
+        engine = self.engine
+        if engine == "auto":
+            engine = "windowed" if jax.default_backend() not in ("cpu",) else "gather"
+        if engine == "windowed":
+            return self._forward_windowed(feats, ids, mask, grid, training)
 
         def subm_rb(ids_, g):
             return jax.vmap(lambda i: sp.build_subm_rulebook(i, g, 3))(ids_)
@@ -361,5 +458,142 @@ class SparseEncoder(nn.Module):
 
         # dense: [B, X, Y, Z, C] -> [B, X, Y, C*Z] (channel = c*Z + z,
         # matching the reference's permute+view, sparse_encoder.py:126-131)
+        B_, X, Y, Z, C = dense.shape
+        return dense.transpose(0, 1, 2, 4, 3).reshape(B_, X, Y, C * Z)
+
+    def _forward_windowed(self, feats, ids, mask, grid, training: bool):
+        """Windowed-Pallas engine: every stage sparse, site features
+        packed [cap/P, 128] bf16 end-to-end (ops/sparse_conv_windowed).
+        Same stage structure / parameter names / numerics contract as
+        the gather and dense paths (oracle-tested)."""
+        B, M, Cin0 = feats.shape
+        slack = int(self.window_slack)
+
+        # pad input channels to a 128-divisor width (zero lanes)
+        Cp0 = next(c for c in (16, 32, 64, 128) if c >= Cin0)
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, Cp0 - Cin0)))
+        packed = feats.astype(jnp.bfloat16).reshape(B, -1, 128)
+
+        def subm_wrb(ids_, g, C):
+            nbr = jax.vmap(lambda i: sp.build_subm_rulebook(i, g, 3))(ids_)
+            return jax.vmap(
+                lambda n: wg.build_windowed_rulebook(n, C, slack=slack))(nbr)
+
+        overflow = []  # per-conv dropped-neighbor counts (diagnostic)
+
+        def conv(name, packed_, wrbs, cin, cout, cap_out, K=27, lane_c=0,
+                 slack_=None):
+            overflow.append(jnp.sum(wrbs.overflow))
+            return _WindowedConv(cin, cout, K, lane_channels=lane_c,
+                                 dtype=self.dtype, name=name)(
+                packed_, wrbs, cap_out, slack_ or slack)
+
+        def bn(name, packed_, mask_, cout):
+            cfg = self.norm_cfg or {}
+            return PackedMaskedBatchNorm(
+                cout, eps=cfg.get("eps", 1e-3),
+                momentum=cfg.get("momentum", 0.01),
+                dtype=jnp.bfloat16, name=name)(packed_, mask_, training)
+
+        cap = M
+        wrbs = subm_wrb(ids, grid, Cp0)
+
+        # conv_input: subm k3 p1 + BN + ReLU (sparse_encoder.py:63-85);
+        # weight param keeps the true Cin0 width (engine/ckpt parity)
+        packed = conv("conv_input", packed, wrbs, Cin0, self.base_channels,
+                      cap, lane_c=Cp0)
+        packed = bn("bn_input", packed, mask, self.base_channels)
+        packed = nn.relu(packed)
+
+        in_ch = self.base_channels
+        n_stages = len(self.encoder_channels)
+        n_down = 0
+
+        for i, blocks in enumerate(self.encoder_channels):
+            for j, out_ch in enumerate(tuple(blocks)):
+                padding = tuple(self.encoder_paddings[i])[j]
+                is_strided = (
+                    (self.block_type == "conv_module" and i != 0 and j == 0)
+                    or (
+                        self.block_type == "basicblock"
+                        and j == len(blocks) - 1
+                        and i != n_stages - 1
+                    )
+                )
+                name = f"stage{i}_block{j}"
+                if is_strided:
+                    if self.site_caps is not None and n_down < len(self.site_caps):
+                        cap_out = int(self.site_caps[n_down])
+                    else:
+                        cap_out = max(1, int(cap * self.site_cap_multiplier))
+                    out_grid = sp.conv_out_shape(grid, 3, 2, padding)
+                    g_in = grid
+                    out_ids, out_mask = jax.vmap(
+                        lambda i_: sp.downsample_sites(i_, g_in, 3, 2, padding, cap_out)
+                    )(ids)
+                    cnbr = jax.vmap(
+                        lambda oi, ii: sp.build_conv_rulebook(
+                            ii, oi, g_in, out_grid, 3, 2, padding)
+                    )(out_ids, ids)
+                    # a stride-2 conv's output block covers up to ~8x
+                    # (stride^3) as many input sites in dense regions, so
+                    # strided windows need 4x the subm slack (measured:
+                    # slack 8 is exact on fully-dense truncated regions)
+                    swrbs = jax.vmap(
+                        lambda n: wg.build_windowed_rulebook(
+                            n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)
+                    packed = conv(f"{name}_spconv", packed, swrbs, in_ch,
+                                  out_ch, cap_out, slack_=4 * slack)
+                    overflow.append(jnp.sum(swrbs.overflow))
+                    ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
+                    packed = bn(f"{name}_bn", packed, mask, out_ch)
+                    packed = nn.relu(packed)
+                    wrbs = subm_wrb(ids, grid, out_ch)
+                    n_down += 1
+                elif self.block_type == "basicblock":
+                    identity = packed
+                    y = conv(f"{name}_conv1", packed, wrbs, in_ch, out_ch, cap)
+                    y = bn(f"{name}_bn1", y, mask, out_ch)
+                    y = nn.relu(y)
+                    y = conv(f"{name}_conv2", y, wrbs, out_ch, out_ch, cap)
+                    y = bn(f"{name}_bn2", y, mask, out_ch)
+                    packed = nn.relu(y + identity)
+                else:
+                    y = conv(f"{name}_conv", packed, wrbs, in_ch, out_ch, cap)
+                    y = bn(f"{name}_bn", y, mask, out_ch)
+                    packed = nn.relu(y)
+                in_ch = out_ch
+
+        # conv_out: SparseConv3d (1,1,3)/(1,1,2) (sparse_encoder.py:87-97)
+        k_out, s_out, p_out = (1, 1, 3), (1, 1, 2), 0
+        out_grid = sp.conv_out_shape(grid, k_out, s_out, p_out)
+        g_fin = grid
+        out_ids, out_mask = jax.vmap(
+            lambda i_: sp.downsample_sites(i_, g_fin, k_out, s_out, p_out, cap)
+        )(ids)
+        cnbr = jax.vmap(
+            lambda oi, ii: sp.build_conv_rulebook(
+                ii, oi, g_fin, out_grid, k_out, s_out, p_out)
+        )(out_ids, ids)
+        owrbs = jax.vmap(
+            lambda n: wg.build_windowed_rulebook(
+                n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)
+        packed = conv("conv_out", packed, owrbs, in_ch, self.output_channels,
+                      cap, K=3, slack_=4 * slack)
+        overflow.append(jnp.sum(owrbs.overflow))
+        ids, mask, grid = out_ids, out_mask, out_grid
+        packed = bn("bn_out", packed, mask, self.output_channels)
+        packed = nn.relu(packed)
+
+        # window-overflow diagnostic: must stay 0 on real data (see
+        # ops/sparse_conv_windowed.py); observable via capture_intermediates
+        self.sow("intermediates", "window_overflow",
+                 sum(overflow[1:], overflow[0]))
+
+        feats_out = wg.unpack_sites(
+            packed.reshape(-1, 128), self.output_channels
+        ).reshape(B, cap, self.output_channels).astype(self.dtype)
+        dense = jax.vmap(lambda f, i, m: sp.to_dense(f, i, m, grid))(
+            feats_out, ids, mask)
         B_, X, Y, Z, C = dense.shape
         return dense.transpose(0, 1, 2, 4, 3).reshape(B_, X, Y, C * Z)

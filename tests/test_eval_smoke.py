@@ -1,0 +1,166 @@
+"""Eval-path smoke on synthesized data (VERDICT r1 item 6).
+
+Builds a 3-sample fake nuScenes info pkl (+ tiny .bin point clouds),
+drives the NuScenesDataset pipeline, and executes the full eval
+plumbing — per-sample results -> format_results (global-frame yaw /
+velocity / attribute logic, data/nuscenes.py:240-310) -> submission
+JSON schema check — plus the map-IoU sweep. Mirrors the reference eval
+call stack (tools/test.py -> dataset.evaluate, nuscenes_dataset.py:
+337-466) without the devkit or real data.
+"""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from bevfusion_tpu.data.nuscenes import NuScenesDataset
+
+CLASSES = ["car", "truck", "construction_vehicle", "bus", "trailer",
+           "barrier", "motorcycle", "bicycle", "pedestrian", "traffic_cone"]
+
+
+def _quat_z(yaw):
+    return [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
+
+
+@pytest.fixture()
+def fake_dataset(tmp_path):
+    rng = np.random.RandomState(0)
+    root = tmp_path / "nusc"
+    os.makedirs(root / "samples", exist_ok=True)
+    infos = []
+    for i in range(3):
+        pts = np.concatenate([
+            rng.uniform(-40, 40, (500, 2)), rng.uniform(-3, 1, (500, 1)),
+            rng.rand(500, 2),
+        ], -1).astype(np.float32)
+        lidar_path = str(root / "samples" / f"pc{i}.bin")
+        pts.tofile(lidar_path)
+        n_gt = 4
+        infos.append({
+            "token": f"sample_{i}",
+            "lidar_path": lidar_path,
+            "sweeps": [],
+            "timestamp": 1_000_000 + i,
+            "lidar2ego_translation": [0.9, 0.0, 1.8],
+            "lidar2ego_rotation": _quat_z(0.02),
+            "ego2global_translation": [100.0 + 5 * i, 200.0, 0.0],
+            "ego2global_rotation": _quat_z(0.5 + 0.1 * i),
+            "cams": {},
+            "gt_boxes": np.concatenate([
+                rng.uniform(-30, 30, (n_gt, 2)), rng.uniform(-2, 0, (n_gt, 1)),
+                rng.uniform(1, 4, (n_gt, 3)), rng.uniform(-3, 3, (n_gt, 1)),
+            ], -1).astype(np.float32),
+            "gt_names": np.array(["car", "pedestrian", "bus", "bicycle"]),
+            "gt_velocity": rng.uniform(-2, 2, (n_gt, 2)).astype(np.float32),
+            "num_lidar_pts": np.array([10, 8, 6, 4]),
+            "valid_flag": np.ones(n_gt, bool),
+        })
+    ann = root / "nuscenes_infos_val.pkl"
+    with open(ann, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "v1.0-mini"}}, f)
+
+    pipeline = [
+        {"type": "LoadPointsFromFile", "coord_type": "LIDAR", "load_dim": 5,
+         "use_dim": 5},
+        {"type": "LoadAnnotations3D", "with_bbox_3d": True,
+         "with_label_3d": True},
+    ]
+    return NuScenesDataset(
+        dataset_root=str(root), ann_file=str(ann), pipeline=pipeline,
+        object_classes=CLASSES, map_classes=["drivable_area", "divider"],
+        modality={"use_camera": False, "use_lidar": True}, test_mode=True)
+
+
+def test_pipeline_and_format_results_schema(fake_dataset, tmp_path):
+    ds = fake_dataset
+    assert len(ds) == 3
+    sample = ds[0]
+    assert np.asarray(sample["points"].tensor if hasattr(sample["points"], "tensor") else sample["points"]).shape[-1] == 5
+
+    rng = np.random.RandomState(1)
+    results = []
+    for i in range(3):
+        n = 5
+        boxes = np.concatenate([
+            rng.uniform(-30, 30, (n, 2)), rng.uniform(-2, 0, (n, 1)),
+            rng.uniform(1, 4, (n, 3)), rng.uniform(-3, 3, (n, 1)),
+            rng.uniform(-3, 3, (n, 2)),
+        ], -1).astype(np.float32)
+        results.append({
+            "boxes_3d": boxes,
+            "scores_3d": rng.rand(n).astype(np.float32),
+            "labels_3d": rng.randint(0, len(CLASSES), n),
+        })
+
+    out_path = str(tmp_path / "results_nusc.json")
+    sub = ds.format_results(results, out_path)
+
+    # submission schema (nuScenes detection submission format)
+    assert os.path.exists(out_path)
+    with open(out_path) as f:
+        loaded = json.load(f)
+    assert set(loaded) == {"meta", "results"}
+    assert loaded["meta"]["use_lidar"] is True
+    assert set(loaded["results"]) == {"sample_0", "sample_1", "sample_2"}
+    for token, annos in loaded["results"].items():
+        assert len(annos) == 5
+        for a in annos:
+            assert set(a) == {"sample_token", "translation", "size",
+                              "rotation", "velocity", "detection_name",
+                              "detection_score", "attribute_name"}
+            assert len(a["translation"]) == 3 and len(a["rotation"]) == 4
+            assert a["detection_name"] in CLASSES
+
+    # global-frame transform actually applied: sample_0's ego is at
+    # (100, 200); all box translations must be near it, not near lidar
+    t = np.array([a["translation"] for a in loaded["results"]["sample_0"]])
+    assert np.all(np.abs(t[:, 0] - 100) < 60)
+    assert np.all(np.abs(t[:, 1] - 200) < 60)
+
+    # yaw in global frame: rotating the same box in lidar frame by
+    # delta rotates the submission quaternion by delta
+    b0 = results[0]["boxes_3d"].copy()
+    b1 = b0.copy()
+    b1[:, 6] += 0.3
+    s0 = ds.format_results([{"boxes_3d": b0,
+                             "scores_3d": results[0]["scores_3d"],
+                             "labels_3d": results[0]["labels_3d"]}])
+    s1 = ds.format_results([{"boxes_3d": b1,
+                             "scores_3d": results[0]["scores_3d"],
+                             "labels_3d": results[0]["labels_3d"]}])
+    q0 = np.array(s0["results"]["sample_0"][0]["rotation"])
+    q1 = np.array(s1["results"]["sample_0"][0]["rotation"])
+    y0 = 2 * np.arctan2(q0[3], q0[0])
+    y1 = 2 * np.arctan2(q1[3], q1[0])
+    dy = (y1 - y0 + np.pi) % (2 * np.pi) - np.pi
+    np.testing.assert_allclose(dy, 0.3, atol=1e-5)
+
+
+def test_attribute_inference_speed_rule(fake_dataset):
+    ds = fake_dataset
+    mk = lambda vx: {"boxes_3d": np.array(
+        [[0, 0, 0, 2, 4, 1.5, 0.0, vx, 0.0]], np.float32),
+        "scores_3d": np.ones(1, np.float32),
+        "labels_3d": np.zeros(1, np.int64)}
+    moving = ds.format_results([mk(3.0)])["results"]["sample_0"][0]
+    parked = ds.format_results([mk(0.0)])["results"]["sample_0"][0]
+    assert moving["attribute_name"] == "vehicle.moving"
+    assert parked["attribute_name"] == "vehicle.parked"
+
+
+def test_evaluate_map_sweep(fake_dataset):
+    ds = fake_dataset
+    rng = np.random.RandomState(2)
+    results = []
+    for _ in range(3):
+        gt = rng.rand(2, 32, 32) > 0.5
+        pred = np.where(gt, 0.9, 0.1) + rng.randn(2, 32, 32) * 0.05
+        results.append({"masks_bev": pred.astype(np.float32),
+                        "gt_masks_bev": gt})
+    m = ds.evaluate_map(results)
+    assert set(m) == {"map/drivable_area/iou@max", "map/divider/iou@max",
+                      "map/mean/iou@max"}
+    assert m["map/mean/iou@max"] > 0.9  # near-perfect predictions

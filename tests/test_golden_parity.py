@@ -1,0 +1,99 @@
+"""Golden module-level parity vs independent torch implementations
+(VERDICT r1 item 5): same weights (through the checkpoint adapter),
+same inputs, independent math.
+
+This is the accuracy evidence obtainable without the dataset: the torch
+side re-implements the reference module semantics in plain torch
+(tests/torch_ref/), weights flow through runtime/adapter.py exactly as
+released checkpoints would, and outputs must agree to float tolerance.
+A failure localizes to either the adapter's layout rules or the
+module's numerics.
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from bevfusion_tpu.runtime.adapter import load_reference_weights
+
+
+@pytest.mark.slow
+def test_sparse_encoder_golden_vs_torch():
+    """SparseEncoder vs spconv-semantics torch forward
+    (mmdet3d/models/backbones/sparse_encoder.py:100-132)."""
+    from tests.torch_ref.skeleton import SparseEncoderSkeleton
+    from tests.torch_ref.sparse_encoder_fwd import sparse_encoder_forward
+    from bevfusion_tpu.models.sparse_encoder import SparseEncoder
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    grid = (16, 16, 8)
+    channels = ((16, 16, 32), (32, 32))
+
+    skel = SparseEncoderSkeleton(in_channels=5, base=16, channels=channels,
+                                 output_channels=64).eval()
+    # randomize BN stats so eval-mode normalization is non-trivial
+    for m in skel.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+            m.weight.data.normal_(1.0, 0.2)
+            m.bias.data.normal_(0, 0.2)
+    sd = {f"encoders.lidar.backbone.{k}": v for k, v in
+          skel.state_dict().items()}
+
+    # sites + features
+    N = 180
+    ids = np.unique(rng.randint(0, np.prod(grid), 3 * N))[:N]
+    coords = np.stack([ids // (grid[1] * grid[2]),
+                       (ids // grid[2]) % grid[1],
+                       ids % grid[2]], 1).astype(np.int32)
+    feats = rng.randn(len(ids), 5).astype(np.float32)
+
+    want = sparse_encoder_forward(
+        skel, torch.from_numpy(feats), torch.from_numpy(coords), grid
+    ).detach().numpy()
+
+    # our encoder, same weights via the adapter
+    cap = 256
+    model = SparseEncoder(
+        in_channels=5, sparse_shape=grid, base_channels=16,
+        output_channels=64, encoder_channels=channels,
+        encoder_paddings=((0, 0, 1), (0, 0)), block_type="basicblock",
+        site_caps=[1024], dense_from_stage=-1, engine="gather",
+        dtype=jnp.float32)
+
+    cbuf = np.zeros((1, cap, 3), np.int32)
+    fbuf = np.zeros((1, cap, 5), np.float32)
+    mbuf = np.zeros((1, cap), bool)
+    cbuf[0, : len(ids)] = coords
+    fbuf[0, : len(ids)] = feats
+    mbuf[0, : len(ids)] = True
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(fbuf),
+                           jnp.asarray(cbuf), jnp.asarray(mbuf),
+                           training=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    # standalone module: wrap under the fusion model's submodule name so
+    # the adapter's full-tree rules apply
+    wrapped = {c: {"lidar_backbone": dict(variables[c])} for c in variables}
+    new_vars, report = load_reference_weights(wrapped, sd, strict=True)
+
+    got = model.apply(
+        {"params": new_vars["params"]["lidar_backbone"],
+         "batch_stats": new_vars["batch_stats"]["lidar_backbone"]},
+        jnp.asarray(fbuf), jnp.asarray(cbuf), jnp.asarray(mbuf),
+        training=False)
+    got = np.asarray(got)[0]
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    err = np.max(np.abs(got - want))
+    scale = np.max(np.abs(want))
+    # 7 convs of f32 accumulation-order differences + ReLU cliffs leave
+    # ~1e-3 relative worst-case; mean error is an order tighter
+    assert err <= 2.5e-3 * max(scale, 1.0), (err, scale)
+    mean_err = np.mean(np.abs(got - want))
+    assert mean_err <= 2e-4 * max(scale, 1.0), (mean_err, scale)

@@ -1,0 +1,136 @@
+"""Windowed Pallas sparse-conv engine (ops/sparse_conv_windowed.py).
+
+CPU runs cover the pure-XLA pieces: the windowed-rulebook builder's
+sel/s8 encoding invariants and the packed BatchNorm's parity with
+MaskedBatchNorm. The kernel itself only lowers on TPU — run those
+tests with BEVF_TEST_TPU=1 on the chip (they compare bit-exactly
+against ops/sparse_conv.subm_gather_gemm, the tested oracle).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevfusion_tpu.ops import sparse_conv as sp
+from bevfusion_tpu.ops import sparse_conv_windowed as wg
+
+ON_TPU = jax.default_backend() not in ("cpu",)
+
+
+def _sites(n_sites, grid, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = np.unique(rng.randint(0, grid.size, 2 * n_sites))[:n_sites]
+    cap = (n_sites + 1023) // 1024 * 1024
+    buf = np.full(cap, grid.size, np.int64)
+    buf[: len(ids)] = ids
+    return jnp.asarray(buf.astype(np.int32))
+
+
+def test_windowed_rulebook_encoding_reconstructs_neighbors():
+    grid = sp.SparseGrid(48, 48, 16)
+    ids = _sites(2000, grid)
+    nbr = sp.build_subm_rulebook(ids, grid, 3)
+    C = 16
+    P = wg.pack_factor(C)
+    wrb = wg.build_windowed_rulebook(nbr, C)
+    assert int(wrb.overflow) == 0
+
+    s8 = np.asarray(wrb.s8)
+    sel = np.asarray(wrb.sel)[:, :, :27]
+    nb = np.asarray(nbr)
+    cap = nb.shape[0]
+    nbp = np.full(((cap + wg.BLK - 1) // wg.BLK * wg.BLK, 27), -1, np.int64)
+    nbp[:cap] = nb
+    nbp = nbp.reshape(-1, wg.BLK, 27)
+    # decode: row = s8*P + relp*P + lane/C ; miss -> relp == -1
+    relp = sel // 256 - 1
+    lane = sel % 256
+    row = s8[:, None, :] * P + relp * P + lane // C
+    got = np.where(relp >= 0, row, -1)
+    np.testing.assert_array_equal(got, nbp)
+    # window starts are 8-aligned (HBM tiling requirement)
+    assert (s8 % 8 == 0).all()
+
+
+def test_windowed_rulebook_overflow_counts_drops():
+    # a neighbor far outside the block's window span must be counted as
+    # dropped (the documented capacity limit; realistic radial lidar
+    # scans measure overflow == 0 even at slack 2)
+    cap_in = 51200
+    nbr = np.arange(wg.BLK, dtype=np.int32)[:, None].repeat(2, 1)
+    nbr[7, 1] = 50000  # one pathological far neighbor
+    wrb = wg.build_windowed_rulebook(jnp.asarray(nbr), 16, cap_in=cap_in,
+                                     slack=2)
+    assert int(wrb.overflow) == 1
+    # and the well-behaved column is untouched
+    sel0 = np.asarray(wrb.sel)[0, :, 0]
+    assert (sel0 // 256 - 1 >= 0).all()
+
+
+def test_packed_masked_batchnorm_matches_unpacked():
+    from bevfusion_tpu.models.sparse_encoder import (MaskedBatchNorm,
+                                                     PackedMaskedBatchNorm)
+
+    rng = np.random.RandomState(0)
+    B, cap, C = 2, 256, 16
+    x = jnp.asarray(rng.randn(B, cap, C).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, cap) < 0.7)
+    packed = x.astype(jnp.bfloat16).reshape(B, -1, 128)
+
+    m_u = MaskedBatchNorm(dtype=jnp.float32)
+    m_p = PackedMaskedBatchNorm(C, dtype=jnp.float32)
+    v = m_u.init(jax.random.PRNGKey(0), x, mask, True)
+
+    out_u, st_u = m_u.apply(v, x, mask, True, mutable=["batch_stats"])
+    out_p, st_p = m_p.apply(v, packed, mask, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out_p).reshape(B, cap, C), np.asarray(out_u),
+        rtol=2e-2, atol=2e-2)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(st_p["batch_stats"][k]),
+            np.asarray(st_u["batch_stats"][k]), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
+@pytest.mark.parametrize("cin,cout", [(16, 16), (16, 32), (64, 64), (128, 128)])
+def test_windowed_kernel_matches_oracle(cin, cout):
+    grid = sp.SparseGrid(64, 64, 16)
+    ids = _sites(3000, grid, seed=cin + cout)
+    cap = ids.shape[0]
+    rng = np.random.RandomState(1)
+    nbr = sp.build_subm_rulebook(ids, grid, 3)
+    feats = jnp.asarray(rng.rand(cap, cin).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.rand(27, cin, cout) * 0.2).astype(np.float32)).astype(jnp.bfloat16)
+
+    want = sp.subm_gather_gemm(feats, nbr, w)
+    wrb = wg.build_windowed_rulebook(nbr, cin)
+    assert int(wrb.overflow) == 0
+    got = wg.unpack_sites(
+        wg.windowed_gather_gemm(wg.pack_sites(feats, cin), wrb, w, cout, cap),
+        cout)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), rtol=0, atol=1e-2)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
+def test_windowed_strided_conv_matches_oracle():
+    grid = sp.SparseGrid(64, 64, 16)
+    ids = _sites(3000, grid, seed=7)
+    cap = ids.shape[0]
+    rng = np.random.RandomState(2)
+    cap_out = 2048
+    out_grid = sp.conv_out_shape(grid, 3, 2, 1)
+    out_ids, _ = sp.downsample_sites(ids, grid, 3, 2, 1, cap_out)
+    cnbr = sp.build_conv_rulebook(ids, out_ids, grid, out_grid, 3, 2, 1)
+    feats = jnp.asarray(rng.rand(cap, 16).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.rand(27, 16, 32) * 0.2).astype(np.float32)).astype(jnp.bfloat16)
+
+    want = sp.subm_gather_gemm(feats, cnbr, w)
+    wrb = wg.build_windowed_rulebook(cnbr, 16, cap_in=cap)
+    assert int(wrb.overflow) == 0
+    got = wg.unpack_sites(
+        wg.windowed_gather_gemm(wg.pack_sites(feats, 16), wrb, w, 32, cap_out),
+        32)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), rtol=0, atol=1e-2)
