@@ -301,7 +301,11 @@ class SparseEncoder(nn.Module):
 
         engine = self.engine
         if engine == "auto":
-            engine = "windowed" if jax.default_backend() not in ("cpu",) else "gather"
+            # windowed Pallas kernels carry no VJP yet: auto picks them
+            # for TPU inference; training uses the differentiable
+            # gather/dense path (identical parameters and numerics)
+            on_tpu = jax.default_backend() not in ("cpu",)
+            engine = "windowed" if (on_tpu and not training) else "gather"
         if engine == "windowed":
             return self._forward_windowed(feats, ids, mask, grid, training)
 
@@ -474,8 +478,14 @@ class SparseEncoder(nn.Module):
         feats = jnp.pad(feats, ((0, 0), (0, 0), (0, Cp0 - Cin0)))
         packed = feats.astype(jnp.bfloat16).reshape(B, -1, 128)
 
+        tables = {}  # per-stage column tables, shared across rulebooks
+
         def subm_wrb(ids_, g, C):
-            nbr = jax.vmap(lambda i: sp.build_subm_rulebook(i, g, 3))(ids_)
+            tbl = jax.vmap(lambda i: sp.build_column_table(i, g))(ids_)
+            tables["cur"] = tbl
+            nbr = jax.vmap(
+                lambda i, t: sp.build_subm_rulebook(i, g, 3, table=t)
+            )(ids_, tbl)
             return jax.vmap(
                 lambda n: wg.build_windowed_rulebook(n, C, slack=slack))(nbr)
 
@@ -572,9 +582,9 @@ class SparseEncoder(nn.Module):
             lambda i_: sp.downsample_sites(i_, g_fin, k_out, s_out, p_out, cap)
         )(ids)
         cnbr = jax.vmap(
-            lambda oi, ii: sp.build_conv_rulebook(
-                ii, oi, g_fin, out_grid, k_out, s_out, p_out)
-        )(out_ids, ids)
+            lambda oi, ii, t: sp.build_conv_rulebook(
+                ii, oi, g_fin, out_grid, k_out, s_out, p_out, table=t)
+        )(out_ids, ids, tables["cur"])
         owrbs = jax.vmap(
             lambda n: wg.build_windowed_rulebook(
                 n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)

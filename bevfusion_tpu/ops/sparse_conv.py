@@ -199,7 +199,7 @@ def _lookup(ids, nx_, ny_, nz_, ok, grid: SparseGrid, table: ColumnTable = None)
     return jnp.where(present, row, -1).astype(jnp.int32)
 
 
-def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3):
+def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None):
     """Neighbor gather table for submanifold conv.
 
     ids: [cap] sorted active-site ids (sentinel-padded). Returns
@@ -209,10 +209,12 @@ def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3):
     Offsets that share a (dx, dy) column reuse ONE 12-byte column fetch;
     all kz neighbors of that column are resolved with popcount bit math.
     For a 3^3 kernel this is 9 gathers/site instead of 27 searches.
+    ``table``: pass a prebuilt build_column_table(ids) to share it with
+    other rulebooks of the same site set (~6 ms/stage at 120k sites).
     """
     kx, ky, kz = _triple(kernel_size)
     px, py, pz = (kx - 1) // 2, (ky - 1) // 2, (kz - 1) // 2
-    table = build_column_table(ids, grid)
+    table = table if table is not None else build_column_table(ids, grid)
     x, y, z = unlin_ids(ids, grid)
     valid = ids < grid.size
     XY = grid.X * grid.Y
@@ -431,16 +433,17 @@ def downsample_sites(ids, grid: SparseGrid, kernel_size, stride, padding, cap_ou
 
 
 def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
-                        kernel_size, stride, padding):
+                        kernel_size, stride, padding, table=None):
     """Gather table for a regular (strided) sparse conv.
 
     For output site o and offset k the unique input coord is
     o*s - p + off_k; returns nbr [cap_out, K] int32 into in_ids (-1 miss).
     Shares one packed column fetch across the kz offsets of each
-    (kx, ky), like build_subm_rulebook.
+    (kx, ky), like build_subm_rulebook. ``table``: optional prebuilt
+    build_column_table(in_ids).
     """
     k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
-    table = build_column_table(in_ids, grid)
+    table = table if table is not None else build_column_table(in_ids, grid)
     ox, oy, oz = unlin_ids(out_ids, out_grid)
     out_valid = out_ids < out_grid.size
     XY = grid.X * grid.Y

@@ -94,25 +94,27 @@ class WindowedRulebook(NamedTuple):
 
 
 def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
-                            slack: int = SLACK):
+                            slack: int = SLACK, blk: int = BLK):
     """nbr [cap_out, K] int32 neighbor rows into the *input* site array
     (-1 miss), monotone per offset column (guaranteed by sorted site
     ids) -> WindowedRulebook. cap_in = input site count (defaults to
-    cap_out; differs for strided convs)."""
+    cap_out; differs for strided convs). Smaller ``blk`` suits
+    high-slack (strided) convs: the one-hot matmul cost per site scales
+    with slack * blk while window coverage stays slack * blk sites."""
     cap, K = nbr.shape
     if cap_in is None:
         cap_in = cap
     P = pack_factor(C)
     assert cap_in % P == 0, (cap_in, P)
-    cap_pad = (cap + BLK - 1) // BLK * BLK
+    cap_pad = (cap + blk - 1) // blk * blk
     if cap_pad != cap:
         nbr = jnp.pad(nbr, ((0, cap_pad - cap), (0, 0)), constant_values=-1)
-    nblocks = cap_pad // BLK
-    BLKP = BLK // P
-    WP = slack * BLKP
+    nblocks = cap_pad // blk
+    BLKP = blk // P
+    WP = max(slack * BLKP, 8)
     capP = cap_in // P  # rows of the (un-padded) packed input array
 
-    nb = nbr.reshape(nblocks, BLK, K)
+    nb = nbr.reshape(nblocks, blk, K)
     valid = nb >= 0
     # first valid neighbor row per (block, offset) -> packed window start
     first = jnp.min(jnp.where(valid, nb, cap_in), axis=1)  # [nblocks, K]
@@ -132,8 +134,9 @@ def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
 
 
 def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
-            K, Cin, Cout, WP, P, Pout):
+            K, Cin, Cout, WP, P, Pout, blk):
     b = pl.program_id(0)
+    BLK = blk
     BLKPo = BLK // Pout
 
     def dma(k, slot):
@@ -186,7 +189,7 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
 
 def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
                          Cout: int, cap_out: int, slack: int = SLACK,
-                         interpret: bool = False):
+                         blk: int = BLK, interpret: bool = False):
     """feats_packed [capP, 128] bf16; weight [K, Cin, Cout] -> packed
     output [cap_out/P_out, 128] bf16 (cap_out = un-padded output site
     count, a static int since jit flattens NamedTuple leaves). Drop-in
@@ -196,8 +199,8 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
     P = pack_factor(Cin)
     Pout = pack_factor(Cout)
     nblocks = wrb.s8.shape[0]
-    WP = slack * (BLK // P)  # must match the builder's slack
-    BLKPo = BLK // Pout
+    WP = max(slack * (blk // P), 8)  # must match the builder's slack/blk
+    BLKPo = blk // Pout
 
     # window DMAs read [s8, s8+WP); pad small feature arrays up to WP
     if feats_packed.shape[0] < WP:
@@ -213,7 +216,7 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, BLK, wrb.sel.shape[2]), lambda b, m: (b, 0, 0),
+            pl.BlockSpec((1, blk, wrb.sel.shape[2]), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((KCpad, Cout), lambda b, m: (0, 0),
@@ -223,13 +226,13 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, WP, 128), jnp.bfloat16),
-            pltpu.VMEM((BLK, KCpad), jnp.bfloat16),
+            pltpu.VMEM((blk, KCpad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     kern = functools.partial(_kernel, K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
-                             Pout=Pout)
+                             Pout=Pout, blk=blk)
 
     out = pl.pallas_call(
         kern,

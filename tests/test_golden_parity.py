@@ -97,3 +97,68 @@ def test_sparse_encoder_golden_vs_torch():
     assert err <= 2.5e-3 * max(scale, 1.0), (err, scale)
     mean_err = np.mean(np.abs(got - want))
     assert mean_err <= 2e-4 * max(scale, 1.0), (mean_err, scale)
+# appended to tests/test_golden_parity.py
+
+
+@pytest.mark.slow
+def test_transfusion_decoder_layer_golden_vs_torch():
+    """TransformerDecoderLayer (self+cross attn + FFN + learned pos
+    embeddings) vs the reference forward in plain torch
+    (mmdet3d/models/utils/transformer.py:33-112), weights through the
+    adapter's packed-MHA / posembed-conv1d rules."""
+    import torch.nn.functional as TF
+    from tests.torch_ref.skeleton import DecoderLayerSkeleton
+    from bevfusion_tpu.models.heads.transformer import TransformerDecoderLayer
+
+    torch.manual_seed(1)
+    rng = np.random.RandomState(1)
+    d, heads, P, K, B = 128, 8, 12, 40, 2
+    skel = DecoderLayerSkeleton(d=d, heads=heads, ff=256).eval()
+    for m in skel.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+    sd = {f"heads.object.decoder.0.{k}": v for k, v in skel.state_dict().items()}
+
+    q = rng.randn(B, P, d).astype(np.float32)
+    k = rng.randn(B, K, d).astype(np.float32)
+    qp = rng.randn(B, P, 2).astype(np.float32)
+    kp = rng.randn(B, K, 2).astype(np.float32)
+
+    # reference forward (transformer.py:71-112), batch-first tensors
+    with torch.no_grad():
+        tq = torch.from_numpy(q).permute(0, 2, 1)   # B C P
+        tk = torch.from_numpy(k).permute(0, 2, 1)
+        qe = skel.self_posembed.position_embedding_head(
+            torch.from_numpy(qp).transpose(1, 2)).permute(2, 0, 1)
+        ke = skel.cross_posembed.position_embedding_head(
+            torch.from_numpy(kp).transpose(1, 2)).permute(2, 0, 1)
+        query = tq.permute(2, 0, 1)  # P B C
+        key = tk.permute(2, 0, 1)
+        qkv = query + qe
+        q2 = skel.self_attn(qkv, qkv, qkv)[0]
+        query = skel.norm1(query + q2)
+        q2 = skel.multihead_attn(query + qe, key + ke, key + ke)[0]
+        query = skel.norm2(query + q2)
+        q2 = skel.linear2(TF.relu(skel.linear1(query)))
+        query = skel.norm3(query + q2)
+        want = query.permute(1, 0, 2).numpy()  # B P C
+
+    model = TransformerDecoderLayer(d_model=d, num_heads=heads,
+                                    dim_feedforward=256, dropout=0.0,
+                                    dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(q),
+                           jnp.asarray(k), jnp.asarray(qp), jnp.asarray(kp))
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    wrapped = {c: {"head_modules_object": {"decoder0": dict(variables[c])}}
+               for c in variables}
+    new_vars, report = load_reference_weights(wrapped, sd, strict=True)
+
+    got = model.apply(
+        {c: new_vars[c]["head_modules_object"]["decoder0"] for c in new_vars},
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(qp), jnp.asarray(kp))
+    got = np.asarray(got)
+
+    err = np.max(np.abs(got - want))
+    scale = np.max(np.abs(want))
+    assert err <= 1e-3 * max(scale, 1.0), (err, scale)
