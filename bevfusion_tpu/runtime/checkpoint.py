@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "convert_torch_state_dict"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "convert_torch_state_dict",
+           "load_torch_checkpoint", "load_reference_checkpoint"]
 
 
 def _ckptr():
@@ -90,3 +91,25 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     return convert_torch_state_dict(sd)
+
+
+def load_reference_checkpoint(variables, path_or_state_dict,
+                              strict: bool = True):
+    """Load a released reference .pth (tools/download_pretrained.sh)
+    into this framework's flax ``variables`` (params + batch_stats).
+
+    Accepts a path or an already-loaded torch state_dict; key-family
+    mapping and per-primitive layout conversion live in
+    runtime/adapter.py (exhaustive: with ``strict`` any unmapped flax
+    parameter or unused checkpoint key raises). Returns
+    (new_variables, report).
+    """
+    from .adapter import load_reference_weights
+
+    sd = path_or_state_dict
+    if isinstance(sd, (str, os.PathLike)):
+        import torch
+
+        ckpt = torch.load(sd, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+    return load_reference_weights(variables, sd, strict=strict)

@@ -162,3 +162,102 @@ def test_transfusion_decoder_layer_golden_vs_torch():
     err = np.max(np.abs(got - want))
     scale = np.max(np.abs(want))
     assert err <= 1e-3 * max(scale, 1.0), (err, scale)
+# appended to tests/test_golden_parity.py
+
+
+@pytest.mark.slow
+def test_depth_lss_transform_golden_vs_torch():
+    """DepthLSSTransform vs plain-torch reference math
+    (mmdet3d/models/vtransforms/depth_lss.py:38-102 + base.py:140-176):
+    dtransform/depthnet CNNs, softmax-depth (x) context outer product,
+    BEV scatter-sum, stride-2 downsample — weights through the adapter.
+    The sparse-depth rasterization and cell-id geometry (separately
+    oracle-tested) are shared inputs to both sides."""
+    import torch.nn.functional as TF
+    from tests.torch_ref.skeleton import DepthLSSSkeleton
+    from bevfusion_tpu.models.vtransforms import (DepthLSSTransform,
+                                                  get_geometry,
+                                                  rasterize_depth)
+    from bevfusion_tpu.ops.bev_pool import cell_ids_from_geometry
+    from bevfusion_tpu.ops.grid import create_frustum, gen_dx_bx
+
+    torch.manual_seed(2)
+    rng = np.random.RandomState(2)
+    B, N, Cin, C = 1, 2, 32, 8
+    image_size, feature_size = (32, 64), (4, 8)
+    dbound = (1.0, 9.0, 0.5)  # D = 16
+    xbound = ybound = (-4.0, 4.0, 0.5)
+    zbound = (-10.0, 10.0, 20.0)
+    D = 16
+
+    skel = DepthLSSSkeleton(in_channels=Cin, out_channels=C, D=D).eval()
+    for m in skel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+    sd = {f"encoders.camera.vtransform.{k}": v
+          for k, v in skel.state_dict().items()}
+
+    img_feats = rng.randn(B, N, *feature_size, Cin).astype(np.float32) * 0.5
+    pts = np.concatenate([
+        rng.uniform(-4, 4, (B, 200, 2)), rng.uniform(-1, 1, (B, 200, 1)),
+        rng.rand(B, 200, 2)], -1).astype(np.float32)
+    pmask = np.ones((B, 200), bool)
+    from bevfusion_tpu.runtime.flagship import synthetic_calibration
+    mats = {k: jnp.asarray(v) for k, v in
+            synthetic_calibration(B, N, image_size).items()}
+
+    model = DepthLSSTransform(
+        in_channels=Cin, out_channels=C, image_size=image_size,
+        feature_size=feature_size, xbound=xbound, ybound=ybound,
+        zbound=zbound, dbound=dbound, downsample=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img_feats),
+                           jnp.asarray(pts), jnp.asarray(pmask), mats)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    wrapped = {c: {"camera_vtransform": dict(variables[c])} for c in variables}
+    new_vars, report = load_reference_weights(wrapped, sd, strict=True)
+    got = model.apply(
+        {c: new_vars[c]["camera_vtransform"] for c in new_vars},
+        jnp.asarray(img_feats), jnp.asarray(pts), jnp.asarray(pmask), mats)
+    got = np.asarray(got)
+
+    # ---- torch reference math on the same inputs -----------------------
+    d_in = np.asarray(rasterize_depth(
+        jnp.asarray(pts), jnp.asarray(pmask), mats["lidar2image"],
+        mats["img_aug_matrix"], mats["lidar_aug_matrix"], image_size))
+    with torch.no_grad():
+        dt = torch.from_numpy(d_in.reshape(B * N, *image_size, 1)
+                              ).permute(0, 3, 1, 2)
+        dt = skel.dtransform(dt)
+        xt = torch.from_numpy(
+            img_feats.reshape(B * N, *feature_size, Cin)).permute(0, 3, 1, 2)
+        xt = torch.cat([dt, xt], dim=1)
+        xt = skel.depthnet(xt)
+        depth_t = torch.softmax(xt[:, :D], dim=1)
+        ctx_t = xt[:, D:]
+
+        frustum = create_frustum(image_size, feature_size, dbound)
+        geom = get_geometry(jnp.asarray(frustum), mats["camera2lidar"],
+                            mats["camera_intrinsics"][..., :3, :3],
+                            mats["img_aug_matrix"], mats["lidar_aug_matrix"])
+        dx, bx, nx = gen_dx_bx(xbound, ybound, zbound)
+        ids, valid = cell_ids_from_geometry(
+            geom, jnp.asarray(dx), jnp.asarray(bx), nx)
+        X, Y, Z = int(nx[0]), int(nx[1]), int(nx[2])
+        ids_n = np.asarray(ids).reshape(-1)
+        valid_n = np.asarray(valid).reshape(-1)
+        fH, fW = feature_size
+        dep = depth_t.reshape(B, N, D, fH, fW).numpy().reshape(-1)
+        ctx = (ctx_t.permute(0, 2, 3, 1).reshape(B, N, 1, fH, fW, C)
+               .expand(B, N, D, fH, fW, C).numpy().reshape(-1, C))
+        bev = np.zeros((X * Y * Z, C), np.float64)
+        np.add.at(bev, ids_n[valid_n], dep[valid_n, None] * ctx[valid_n])
+        bev = bev.reshape(X, Y, Z * C)  # Z == 1
+        bt = torch.from_numpy(bev[None].astype(np.float32)).permute(0, 3, 1, 2)
+        bt = skel.downsample(bt)
+        want = bt.permute(0, 2, 3, 1).numpy()[0]
+
+    err = np.max(np.abs(got[0] - want))
+    scale = np.max(np.abs(want))
+    assert got[0].shape == want.shape
+    assert err <= 2e-3 * max(scale, 1.0), (err, scale)
