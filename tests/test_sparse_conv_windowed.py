@@ -134,3 +134,44 @@ def test_windowed_strided_conv_matches_oracle():
         32)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), rtol=0, atol=1e-2)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not ON_TPU, reason="windowed engine lowers on TPU only")
+def test_encoder_engine_parity_windowed_vs_gather():
+    """Full SparseEncoder forward: windowed Pallas engine vs the
+    all-sparse gather engine on identical weights — must agree exactly
+    (both compute the same masked gather-GEMM math)."""
+    import flax  # noqa: F401
+    from bevfusion_tpu.models.sparse_encoder import SparseEncoder
+
+    rng = np.random.RandomState(0)
+    M = 4096
+    ids = np.unique(rng.randint(0, 64 * 64 * 41, 2 * M))[:M]
+    n = len(ids)
+    cbuf = np.zeros((M, 3), np.int32)
+    msk = np.zeros(M, bool)
+    cbuf[:n, 0] = ids // (64 * 41)
+    cbuf[:n, 1] = (ids // 41) % 64
+    cbuf[:n, 2] = ids % 41
+    msk[:n] = True
+    coords = jnp.asarray(cbuf)[None]
+    mask = jnp.asarray(msk)[None]
+    feats = jnp.asarray(rng.rand(1, M, 5).astype(np.float32))
+
+    kw = dict(in_channels=5, sparse_shape=(64, 64, 41), base_channels=16,
+              output_channels=128,
+              encoder_channels=[[16, 16, 32], [32, 32, 64], [64, 64, 128],
+                                [128, 128]],
+              encoder_paddings=[[0, 0, 1], [0, 0, 1], [0, 0, [1, 1, 0]],
+                                [0, 0]],
+              block_type="basicblock", site_caps=[4096, 2048, 1024],
+              dtype=jnp.bfloat16)
+    m_g = SparseEncoder(engine="gather", dense_from_stage=-1, **kw)
+    m_w = SparseEncoder(engine="windowed", **kw)
+    v = m_g.init(jax.random.PRNGKey(0), feats, coords, mask, training=False)
+    out_g = np.asarray(m_g.apply(v, feats, coords, mask, training=False),
+                       np.float32)
+    out_w = np.asarray(m_w.apply(v, feats, coords, mask, training=False),
+                       np.float32)
+    np.testing.assert_allclose(out_w, out_g, rtol=0, atol=1e-3)
