@@ -32,24 +32,35 @@ def main():
         lambda b: model.init(jax.random.PRNGKey(0), b, training=False)
     )(batch)
 
+    from bevfusion_tpu.runtime.eval import _find_overflow
+
     @jax.jit
     def infer(vars_, batch_):
-        out, _ = model.apply(vars_, batch_, training=False,
-                             mutable=["batch_stats"])
+        out, state = model.apply(vars_, batch_, training=False,
+                                 mutable=["batch_stats", "intermediates"])
         boxes = out["boxes"]
+        ovf = _find_overflow(state.get("intermediates", {}))
+        ovf = jnp.int32(0) if ovf is None else ovf
         # scalar checksum: fetching it forces the whole program to finish
         # (on the tunneled axon platform block_until_ready alone does not
         # synchronize with device execution)
         chk = (jnp.sum(boxes["scores"]) +
                jnp.sum(boxes["mask"].astype(jnp.float32)))
-        return boxes, chk
+        return boxes, chk, ovf
 
     import numpy as np
 
     # warmup (compile + 5 runs, like the reference's warmup 5)
     for _ in range(5):
-        out, chk = infer(variables, batch)
+        out, chk, ovf = infer(variables, batch)
     float(np.asarray(chk))
+    # hard guarantee: the windowed sparse-conv engine must not have
+    # dropped a single neighbor on this scene (accuracy-silent otherwise)
+    n_ovf = int(np.asarray(ovf))
+    if n_ovf != 0:
+        print(json.dumps({"error": "window_overflow", "count": n_ovf}),
+              file=sys.stderr)
+        sys.exit(1)
 
     iters = 50
     if per_iter:
@@ -59,7 +70,7 @@ def main():
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            out, chk = infer(variables, batch)
+            out, chk, ovf = infer(variables, batch)
             float(np.asarray(chk))
             times.append(time.perf_counter() - t0)
         ts = sorted(times)
@@ -73,7 +84,7 @@ def main():
     else:
         t0 = time.perf_counter()
         for _ in range(iters):
-            out, chk = infer(variables, batch)
+            out, chk, ovf = infer(variables, batch)
         float(np.asarray(chk))  # one sync at the end; device runs serialize
         dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt

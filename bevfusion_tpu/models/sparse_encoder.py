@@ -304,7 +304,7 @@ class SparseEncoder(nn.Module):
             # windowed Pallas kernels carry no VJP yet: auto picks them
             # for TPU inference; training uses the differentiable
             # gather/dense path (identical parameters and numerics)
-            on_tpu = jax.default_backend() not in ("cpu",)
+            on_tpu = jax.default_backend() == "tpu"
             engine = "windowed" if (on_tpu and not training) else "gather"
         if engine == "windowed":
             return self._forward_windowed(feats, ids, mask, grid, training)
@@ -554,7 +554,6 @@ class SparseEncoder(nn.Module):
                             n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)
                     packed = conv(f"{name}_spconv", packed, swrbs, in_ch,
                                   out_ch, cap_out, slack_=4 * slack)
-                    overflow.append(jnp.sum(swrbs.overflow))
                     ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
                     packed = bn(f"{name}_bn", packed, mask, out_ch)
                     packed = nn.relu(packed)
@@ -590,7 +589,6 @@ class SparseEncoder(nn.Module):
                 n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)
         packed = conv("conv_out", packed, owrbs, in_ch, self.output_channels,
                       cap, K=3, slack_=4 * slack)
-        overflow.append(jnp.sum(owrbs.overflow))
         ids, mask, grid = out_ids, out_mask, out_grid
         packed = bn("bn_out", packed, mask, self.output_channels)
         packed = nn.relu(packed)

@@ -116,7 +116,7 @@ def lss_bev_pool(depth, ctx, cell_ids, valid, Z, X, Y):
     kernel (ops/bev_pool_pallas.py, ~4x faster at flagship scale); the
     XLA path below is the fallback and the numerics oracle.
     """
-    if jax.default_backend() not in ("cpu",):
+    if jax.default_backend() == "tpu":
         from .bev_pool_pallas import lss_bev_pool_tpu
 
         return lss_bev_pool_tpu(depth, ctx, cell_ids, valid, Z, X, Y)

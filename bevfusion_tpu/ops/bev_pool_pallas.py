@@ -226,8 +226,13 @@ def _lss_pool_one(depth, ctx, ids, valid, num_cells: int, C: int):
         + jnp.round(sums[:, C + 2]).astype(jnp.int32)
     ) - 1
     # rows beyond the real ranks (overwritten garbage / sentinel run) get
-    # unique out-of-bounds indices so the scatter can claim uniqueness
-    ok = (cell >= 0) & (cell < num_cells)
+    # unique out-of-bounds indices so the scatter can claim uniqueness.
+    # rows >= R were never DMA'd by any chunk and hold stale buffer
+    # contents whose digit lanes could decode to an in-range cell —
+    # mask by the true rank count, not just the decoded id.
+    R = grank[-1] + 1
+    ok = ((cell >= 0) & (cell < num_cells)
+          & (jax.lax.iota(jnp.int32, cap_ranks) < R))
     idx = jnp.where(ok, cell, num_cells + 1 + jax.lax.iota(jnp.int32, cap_ranks))
     out = jnp.zeros((num_cells, C), jnp.float32)
     return out.at[idx].set(

@@ -393,8 +393,6 @@ def load_reference_weights(variables, state_dict,
                 continue
             val = cv(sd[key])
             used.add(key)
-            if ".in_proj" in key:
-                pass
             if tuple(val.shape) != tuple(cur.shape):
                 shape_errors.append(
                     f"{col}:{path} <- {key}: {val.shape} vs {cur.shape}")

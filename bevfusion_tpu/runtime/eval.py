@@ -10,7 +10,28 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, List, Optional
 
-__all__ = ["run_model_on_loader", "evaluate_dataset"]
+__all__ = ["run_model_on_loader", "evaluate_dataset", "_find_overflow"]
+
+
+def _find_overflow(tree):
+    """Sum every `window_overflow` leaf sown by sparse encoders (flax
+    sows tuples of values per call site); None if the model has none."""
+    import jax.numpy as jnp
+
+    found = []
+
+    def visit(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "window_overflow":
+                    found.extend(v if isinstance(v, (tuple, list)) else [v])
+                else:
+                    visit(v)
+
+    visit(tree)
+    if not found:
+        return None
+    return sum(jnp.sum(f) for f in found)
 
 
 def run_model_on_loader(infer: Callable, loader) -> List[Dict[str, Any]]:
@@ -25,6 +46,14 @@ def run_model_on_loader(infer: Callable, loader) -> List[Dict[str, Any]]:
         np_batch.pop("metas", None)
         batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
         out = jax.device_get(infer(batch))
+        ovf = out.pop("window_overflow", None)
+        if ovf is not None and int(ovf) != 0:
+            # dropped sparse-conv neighbors silently zero conv
+            # contributions — hard-fail rather than degrade accuracy
+            # (raise window_slack / site caps in the encoder config)
+            raise RuntimeError(
+                f"sparse-conv window overflow: {int(ovf)} neighbors "
+                "dropped (increase SparseEncoder.window_slack)")
         B = next(iter(batch.values())).shape[0]
         for b in range(B):
             res: Dict[str, Any] = {}
@@ -49,8 +78,14 @@ def evaluate_dataset(model, variables, dataset, loader, metric: str = "bbox",
 
     @jax.jit
     def infer(batch):
-        out, _ = model.apply(variables, batch, training=False,
-                             mutable=["batch_stats"])
+        out, state = model.apply(
+            variables, batch, training=False,
+            mutable=["batch_stats", "intermediates"])
+        inter = state.get("intermediates", {})
+        ovf = _find_overflow(inter)
+        if ovf is not None:
+            out = dict(out)
+            out["window_overflow"] = ovf
         return out
 
     results = run_model_on_loader(infer, loader)

@@ -25,6 +25,7 @@ import optax
 __all__ = [
     "build_optimizer",
     "build_lr_schedule",
+    "build_momentum_schedule",
     "make_train_step",
     "TrainState",
 ]
@@ -88,14 +89,58 @@ def build_lr_schedule(lr_config: Optional[dict], base_lr: float,
     raise ValueError(f"unsupported lr policy {policy}")
 
 
+def _cos_anneal(start: float, end: float, steps: int):
+    """Cosine interpolation start -> end over `steps` (mmcv annealing_cos)."""
+
+    def sched(t):
+        frac = jnp.clip(t / max(steps, 1), 0.0, 1.0)
+        return end + (start - end) * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+
+    return sched
+
+
+def build_momentum_schedule(momentum_config: Optional[dict], base_m: float,
+                            total_steps: int):
+    """Cyclic momentum schedule for AdamW's beta1, mirroring mmcv's
+    CyclicMomentumUpdaterHook that the reference registers next to the
+    lr hook (mmdet3d/apis/train.py:92-98; momentum_config in
+    configs/nuscenes/det/transfusion/secfpn/default.yaml). The momentum
+    dips while the lr rises (default target_ratio (0.85/0.95, 1)) and
+    anneals back over the down-phase. Returns None for absent/fixed
+    configs (callers keep a constant b1)."""
+    cfg = dict(momentum_config or {})
+    policy = (cfg.get("policy") or "fixed").lower()
+    if policy == "fixed":
+        return None
+    if policy != "cyclic":
+        raise ValueError(f"unsupported momentum policy {policy}")
+    tr = cfg.get("target_ratio", (0.85 / 0.95, 1.0))
+    if isinstance(tr, (tuple, list)):
+        dip_ratio, end_ratio = (float(tr[0]), float(tr[1]))
+    else:
+        dip_ratio, end_ratio = float(tr), 1.0
+    step_up = int(float(cfg.get("step_ratio_up", 0.4)) * total_steps)
+    return optax.join_schedules(
+        [
+            _cos_anneal(base_m, base_m * dip_ratio, max(step_up, 1)),
+            _cos_anneal(base_m * dip_ratio, base_m * end_ratio,
+                        max(total_steps - step_up, 1)),
+        ],
+        [step_up],
+    )
+
+
 def _path_str(path) -> str:
     return ".".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
 def build_optimizer(optimizer_cfg: dict, lr_schedule, params,
-                    grad_clip: Optional[dict] = None) -> optax.GradientTransformation:
+                    grad_clip: Optional[dict] = None,
+                    momentum_schedule=None) -> optax.GradientTransformation:
     """AdamW with mmcv paramwise_cfg custom_keys (lr_mult / decay_mult)
-    (reference: apis/train.py:75 + configs' paramwise_cfg)."""
+    (reference: apis/train.py:75 + configs' paramwise_cfg). An optional
+    momentum_schedule (build_momentum_schedule) drives beta1 per step,
+    the reference's CyclicMomentumUpdaterHook."""
     cfg = dict(optimizer_cfg or {})
     wd = float(cfg.get("weight_decay", 0.01))
     custom = (cfg.get("paramwise_cfg") or {}).get("custom_keys", {})
@@ -129,7 +174,11 @@ def build_optimizer(optimizer_cfg: dict, lr_schedule, params,
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(float(grad_clip.get("max_norm", 35))))
-    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    if momentum_schedule is not None:
+        chain.append(optax.inject_hyperparams(optax.scale_by_adam)(
+            b1=momentum_schedule, b2=0.999, eps=1e-8))
+    else:
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     chain.append(optax.add_decayed_weights(
         wd, mask=jax.tree_util.tree_map(lambda m: m > 0, wd_mask)))
     chain.append(optax.scale_by_learning_rate(lr_schedule))

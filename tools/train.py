@@ -52,7 +52,7 @@ def main():
     from bevfusion_tpu.data import DataLoader, build_dataset
     from bevfusion_tpu.models import build_model
     from bevfusion_tpu.runtime.train import (
-        TrainState, build_lr_schedule, build_optimizer, make_train_step,
+        TrainState, build_lr_schedule, build_momentum_schedule, build_optimizer, make_train_step,
     )
     from bevfusion_tpu.runtime.checkpoint import restore_checkpoint, save_checkpoint
     from bevfusion_tpu.utils.logging import MetricLogger
@@ -93,8 +93,10 @@ def main():
     steps_per_epoch = len(loader)
     total_steps = max_epochs * steps_per_epoch
     sched = build_lr_schedule(cfg.get("lr_config"), cfg.optimizer.lr, total_steps)
+    msched = build_momentum_schedule(cfg.get("momentum_config"), 0.9, total_steps)
     tx = build_optimizer(cfg.optimizer, sched, params,
-                         grad_clip=cfg.get("optimizer_config", {}).get("grad_clip"))
+                         grad_clip=cfg.get("optimizer_config", {}).get("grad_clip"),
+                         momentum_schedule=msched)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=bstats, opt_state=tx.init(params))
 
