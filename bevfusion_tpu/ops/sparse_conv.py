@@ -465,6 +465,51 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
     return jnp.stack(cols_k, axis=1)
 
 
+def build_conv_transpose_rulebook(in_ids, out_ids, grid: SparseGrid,
+                                  out_grid: SparseGrid, kernel_size, stride,
+                                  padding, table=None):
+    """Transposed gather table of a regular (strided) sparse conv: for
+    each *input* site i and offset k, the unique output site o with
+    o*s - p + off_k == i (or -1). This is the backward-data pairing the
+    reference computes by replaying the forward rulebook in reverse
+    (spconv indiceConvBackward, spconv_ops.h:364+): if nbr[o, k] == i
+    then nbr_t[i, k] == o, so gathering grad_out rows through nbr_t with
+    W_k^T accumulates exactly d feats[i]. Per offset column the map
+    i -> o is monotone in x-major id order (componentwise monotone),
+    so nbr_t feeds build_windowed_rulebook directly.
+
+    ``table``: optional prebuilt build_column_table(out_ids, out_grid).
+    """
+    k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
+    table = table if table is not None else build_column_table(out_ids, out_grid)
+    ix, iy, iz = unlin_ids(in_ids, grid)
+    in_valid = in_ids < grid.size
+    XY = out_grid.X * out_grid.Y
+
+    cols_k = []
+    for dx in range(k[0]):
+        for dy in range(k[1]):
+            nx_ = ix + p[0] - dx
+            ny_ = iy + p[1] - dy
+            ox = nx_ // s[0]
+            oy = ny_ // s[1]
+            okc = (
+                (nx_ % s[0] == 0) & (ny_ % s[1] == 0)
+                & (ox >= 0) & (ox < out_grid.X)
+                & (oy >= 0) & (oy < out_grid.Y) & in_valid
+            )
+            col = jnp.clip(ox * out_grid.Y + oy, 0, XY - 1)
+            lo, hi, st = _fetch_columns(table, col)
+            for dz in range(k[2]):
+                nz_ = iz + p[2] - dz
+                oz = nz_ // s[2]
+                ok = okc & (nz_ % s[2] == 0) & (oz >= 0) & (oz < out_grid.Z)
+                present = _present(lo, hi, oz) & ok
+                row = st + _rank_below(lo, hi, oz)
+                cols_k.append(jnp.where(present, row, -1).astype(jnp.int32))
+    return jnp.stack(cols_k, axis=1)  # [cap_in, K] in kernel_offsets order
+
+
 def to_dense(feats, ids, mask, grid: SparseGrid):
     """Scatter active features into a dense [X, Y, Z, C] grid
     (SparseConvTensor.dense, ops/spconv/structure.py:49-56)."""

@@ -298,6 +298,102 @@ def _rules() -> List[Tuple[str, str, Callable]]:
         (rf"{ho}/pred(\d+)/(\w+)_out/bias",
          th + ".prediction_heads.{1}.{2}.last.bias", _id),
     ]
+
+    # ---------------- heads.object: CenterHead ------------------------
+    # (centerpoint.py:248-354: shared ConvModule + task_heads ModuleList
+    # of SeparateHead branch Sequentials, :19-127)
+    R += [
+        (rf"{ho}/shared_conv/Conv_0/conv/kernel",
+         f"{th}.shared_conv.conv.weight", _conv),
+        (rf"{ho}/shared_conv/Norm_0/bn/scale", f"{th}.shared_conv.bn.weight", _id),
+        (rf"{ho}/shared_conv/Norm_0/bn/bias", f"{th}.shared_conv.bn.bias", _id),
+        (rf"{ho}/shared_conv/Norm_0/bn/mean",
+         f"{th}.shared_conv.bn.running_mean", _id),
+        (rf"{ho}/shared_conv/Norm_0/bn/var",
+         f"{th}.shared_conv.bn.running_var", _id),
+        (rf"{ho}/task(\d+)/(\w+)_conv(\d+)/Conv_0/conv/kernel",
+         th + ".task_heads.{1}.{2}.{3}.conv.weight", _conv),
+        (rf"{ho}/task(\d+)/(\w+)_conv(\d+)/Norm_0/bn/scale",
+         th + ".task_heads.{1}.{2}.{3}.bn.weight", _id),
+        (rf"{ho}/task(\d+)/(\w+)_conv(\d+)/Norm_0/bn/bias",
+         th + ".task_heads.{1}.{2}.{3}.bn.bias", _id),
+        (rf"{ho}/task(\d+)/(\w+)_conv(\d+)/Norm_0/bn/mean",
+         th + ".task_heads.{1}.{2}.{3}.bn.running_mean", _id),
+        (rf"{ho}/task(\d+)/(\w+)_conv(\d+)/Norm_0/bn/var",
+         th + ".task_heads.{1}.{2}.{3}.bn.running_var", _id),
+        (rf"{ho}/task(\d+)/(\w+)_out/kernel",
+         th + ".task_heads.{1}.{2}.last.weight", _conv),
+        (rf"{ho}/task(\d+)/(\w+)_out/bias",
+         th + ".task_heads.{1}.{2}.last.bias", _id),
+    ]
+
+    # ---------------- heads.map: BEVSegmentationHead ------------------
+    # (segm/vanilla.py:102-111 classifier Sequential)
+    hm, thm = "head_modules_map", "heads.map"
+    R += [
+        (rf"{hm}/cls([01])/Conv_0/conv/kernel",
+         thm + ".classifier.{1*3}.weight", _conv),
+        (rf"{hm}/cls([01])/Norm_0/bn/scale",
+         thm + ".classifier.{1*3+1}.weight", _id),
+        (rf"{hm}/cls([01])/Norm_0/bn/bias",
+         thm + ".classifier.{1*3+1}.bias", _id),
+        (rf"{hm}/cls([01])/Norm_0/bn/mean",
+         thm + ".classifier.{1*3+1}.running_mean", _id),
+        (rf"{hm}/cls([01])/Norm_0/bn/var",
+         thm + ".classifier.{1*3+1}.running_var", _id),
+        (rf"{hm}/cls2/conv/kernel", f"{thm}.classifier.6.weight", _conv),
+        (rf"{hm}/cls2/conv/bias", f"{thm}.classifier.6.bias", _id),
+    ]
+
+    # ------- decoder.backbone: GeneralizedResNet (resnet.py:13-40) ----
+    # mmcv BasicBlock naming conv1/bn1/conv2/bn2 + downsample.{0,1}
+    R += [
+        (rf"{db}/stage(\d+)_block(\d+)/conv([12])/conv/kernel",
+         td + ".{1}.{2}.conv{3}.weight", _conv),
+        (rf"{db}/stage(\d+)_block(\d+)/bn([12])/bn/scale",
+         td + ".{1}.{2}.bn{3}.weight", _id),
+        (rf"{db}/stage(\d+)_block(\d+)/bn([12])/bn/bias",
+         td + ".{1}.{2}.bn{3}.bias", _id),
+        (rf"{db}/stage(\d+)_block(\d+)/bn([12])/bn/mean",
+         td + ".{1}.{2}.bn{3}.running_mean", _id),
+        (rf"{db}/stage(\d+)_block(\d+)/bn([12])/bn/var",
+         td + ".{1}.{2}.bn{3}.running_var", _id),
+        (rf"{db}/stage(\d+)_block(\d+)/downsample_conv/conv/kernel",
+         td + ".{1}.{2}.downsample.0.weight", _conv),
+        (rf"{db}/stage(\d+)_block(\d+)/downsample_bn/bn/scale",
+         td + ".{1}.{2}.downsample.1.weight", _id),
+        (rf"{db}/stage(\d+)_block(\d+)/downsample_bn/bn/bias",
+         td + ".{1}.{2}.downsample.1.bias", _id),
+        (rf"{db}/stage(\d+)_block(\d+)/downsample_bn/bn/mean",
+         td + ".{1}.{2}.downsample.1.running_mean", _id),
+        (rf"{db}/stage(\d+)_block(\d+)/downsample_bn/bn/var",
+         td + ".{1}.{2}.downsample.1.running_var", _id),
+    ]
+
+    # ------------- decoder.neck: LSSFPN (necks/lss.py:13-65) ----------
+    R += [
+        (rf"{dn}/fuse([01])/Conv_0/conv/kernel",
+         tdn + ".fuse.{1*3}.weight", _conv),
+        (rf"{dn}/fuse([01])/Norm_0/bn/scale",
+         tdn + ".fuse.{1*3+1}.weight", _id),
+        (rf"{dn}/fuse([01])/Norm_0/bn/bias", tdn + ".fuse.{1*3+1}.bias", _id),
+        (rf"{dn}/fuse([01])/Norm_0/bn/mean",
+         tdn + ".fuse.{1*3+1}.running_mean", _id),
+        (rf"{dn}/fuse([01])/Norm_0/bn/var",
+         tdn + ".fuse.{1*3+1}.running_var", _id),
+        (rf"{dn}/up_conv/Conv_0/conv/kernel", f"{tdn}.upsample.1.weight", _conv),
+        (rf"{dn}/up_conv/Norm_0/bn/scale", f"{tdn}.upsample.2.weight", _id),
+        (rf"{dn}/up_conv/Norm_0/bn/bias", f"{tdn}.upsample.2.bias", _id),
+        (rf"{dn}/up_conv/Norm_0/bn/mean", f"{tdn}.upsample.2.running_mean", _id),
+        (rf"{dn}/up_conv/Norm_0/bn/var", f"{tdn}.upsample.2.running_var", _id),
+    ]
+
+    # --------- camera vtransform: plain LSSTransform depthnet ---------
+    # (lss.py:37: a single 1x1 Conv2d, unlike DepthLSS's Sequential)
+    R += [
+        (rf"{cv}/depthnet/conv/kernel", f"{tv}.depthnet.weight", _conv),
+        (rf"{cv}/depthnet/conv/bias", f"{tv}.depthnet.bias", _id),
+    ]
     return R
 
 

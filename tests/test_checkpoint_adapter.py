@@ -72,3 +72,45 @@ def test_single_rules():
     key, cv = flax_to_torch_key("head_modules_object/pred0/center_fc0/kernel")
     assert key == "heads.object.prediction_heads.0.center.0.weight"
     assert flax_to_torch_key("nonexistent/path") is None
+
+
+# ---- round 3: replica proofs for ALL 5 baseline configs --------------
+import os
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_BASELINE_CASES = [
+    ("configs/nuscenes/det/centerhead/lssfpn/camera/256x704/swint/default.yaml",
+     "CameraOnlyDetSkeleton"),
+    ("configs/nuscenes/seg/camera-bev256d2.yaml", "CameraOnlySegSkeleton"),
+    ("configs/nuscenes/det/transfusion/secfpn/lidar/voxelnet_0p075.yaml",
+     "LidarOnlyDetSkeleton"),
+    ("configs/nuscenes/seg/fusion-bev256d2-lss.yaml", "FusedSegSkeleton"),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cfg_path,skel_name", _BASELINE_CASES)
+def test_baseline_mapping_is_exhaustive(cfg_path, skel_name):
+    """Adapter replica proof for the non-flagship baseline trees
+    (VERDICT r2 item 9): every torch key of the reference module tree
+    consumed, every flax parameter filled, shapes agree."""
+    from bevfusion_tpu.config import load_config
+    from bevfusion_tpu.models import build_model
+    from bevfusion_tpu.runtime.flagship import synthetic_batch
+    import tests.torch_ref.skeleton as SK
+
+    cfg = load_config(os.path.join(_REPO, cfg_path))
+    model = build_model(cfg.model, dtype=jnp.float32)
+    batch = synthetic_batch(cfg, B=1, num_points=1000)
+    shapes = jax.eval_shape(
+        lambda b: model.init(jax.random.PRNGKey(0), b, training=False),
+        batch)
+
+    torch.manual_seed(0)
+    sd = getattr(SK, skel_name)().state_dict()
+    variables = {c: _concrete(shapes[c]) for c in ("params", "batch_stats")}
+    new_vars, report = load_reference_weights(variables, sd, strict=False)
+    assert not report["missing"], (cfg_path, report["missing"][:10])
+    assert not report["unused"], (cfg_path, report["unused"][:10])
+    assert not report["shape_errors"], (cfg_path, report["shape_errors"][:10])

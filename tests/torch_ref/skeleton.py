@@ -287,3 +287,199 @@ class BEVFusionSkeleton(nn.Module):
         self.decoder.neck = SECONDFPNSkeleton()
         self.heads = nn.Module()
         self.heads.object = TransFusionHeadSkeleton()
+
+
+class SeparateHeadSkeleton(nn.Module):
+    """CenterHead SeparateHead (centerpoint.py:19-127): per-branch
+    Sequential of (num_conv-1) x ConvModule + final Conv2d (bias)."""
+
+    def __init__(self, cin=64, heads=None, head_conv=64, final_kernel=3):
+        super().__init__()
+        heads = heads or {}
+        for name, (classes, num_conv) in heads.items():
+            layers, c = [], cin
+            for _ in range(num_conv - 1):
+                layers.append(ConvModule(c, head_conv, final_kernel))
+                c = head_conv
+            layers.append(nn.Conv2d(c, classes, final_kernel,
+                                    padding=final_kernel // 2, bias=True))
+            self.add_module(name, nn.Sequential(*layers))
+
+
+class CenterHeadSkeleton(nn.Module):
+    """CenterHead (centerpoint.py:248-354): shared ConvModule +
+    task_heads ModuleList of SeparateHeads."""
+
+    def __init__(self, cin=256, share=64, task_classes=(1, 2, 2, 1, 2, 2),
+                 common=None, head_conv=64, final_kernel=3):
+        super().__init__()
+        common = common or dict(reg=(2, 2), height=(1, 2), dim=(3, 2),
+                                rot=(2, 2), vel=(2, 2))
+        self.shared_conv = ConvModule(cin, share, 3)
+        self.task_heads = nn.ModuleList()
+        for ncls in task_classes:
+            heads = dict(common)
+            heads["heatmap"] = (ncls, 2)
+            self.task_heads.append(
+                SeparateHeadSkeleton(share, heads, head_conv, final_kernel))
+
+
+class BEVSegmentationHeadSkeleton(nn.Module):
+    """segm/vanilla.py:102-111 classifier Sequential."""
+
+    def __init__(self, cin=256, num_classes=6):
+        super().__init__()
+        self.classifier = nn.Sequential(
+            nn.Conv2d(cin, cin, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cin), nn.ReLU(True),
+            nn.Conv2d(cin, cin, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cin), nn.ReLU(True),
+            nn.Conv2d(cin, num_classes, 1),
+        )
+
+
+class ResBasicBlock(nn.Module):
+    """mmcv.cnn.resnet.BasicBlock naming (conv1/bn1/conv2/bn2 +
+    downsample Sequential)."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+
+class GeneralizedResNetSkeleton(nn.ModuleList):
+    """backbones/resnet.py:13-40: ModuleList of res-layers."""
+
+    def __init__(self, cin=80, blocks=((2, 160, 2), (2, 320, 2), (2, 640, 1))):
+        super().__init__()
+        for num_blocks, cout, stride in blocks:
+            mods = []
+            for b in range(num_blocks):
+                mods.append(ResBasicBlock(cin, cout, stride if b == 0 else 1))
+                cin = cout
+            self.append(nn.Sequential(*mods))
+
+
+class LSSFPNSkeleton(nn.Module):
+    """necks/lss.py:13-65: fuse Sequential + optional upsample."""
+
+    def __init__(self, in_channels=(640, 160), out=256, scale_factor=1):
+        super().__init__()
+        self.fuse = nn.Sequential(
+            nn.Conv2d(in_channels[0] + in_channels[1], out, 1, bias=False),
+            nn.BatchNorm2d(out), nn.ReLU(True),
+            nn.Conv2d(out, out, 3, padding=1, bias=False),
+            nn.BatchNorm2d(out), nn.ReLU(True),
+        )
+        if scale_factor > 1:
+            self.upsample = nn.Sequential(
+                nn.Upsample(scale_factor=scale_factor, mode="bilinear",
+                            align_corners=True),
+                nn.Conv2d(out, out, 3, padding=1, bias=False),
+                nn.BatchNorm2d(out), nn.ReLU(True),
+            )
+
+
+class LSSTransformSkeleton(nn.Module):
+    """Plain LSSTransform (lss.py:14-57): single depthnet Conv2d +
+    optional stride-2 downsample Sequential."""
+
+    def __init__(self, cin=256, cout=80, D=118, downsample=1):
+        super().__init__()
+        self.depthnet = nn.Conv2d(cin, D + cout, 1)
+        if downsample > 1:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                nn.BatchNorm2d(cout), nn.ReLU(True),
+                nn.Conv2d(cout, cout, 3, stride=downsample, padding=1,
+                          bias=False),
+                nn.BatchNorm2d(cout), nn.ReLU(True),
+                nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                nn.BatchNorm2d(cout), nn.ReLU(True),
+            )
+
+
+class CameraOnlyDetSkeleton(nn.Module):
+    """Camera-only det baseline (centerhead/lssfpn/camera/256x704/swint):
+    Swin + GeneralizedLSSFPN + LSSTransform + GeneralizedResNet +
+    LSSFPN + CenterHead."""
+
+    def __init__(self):
+        super().__init__()
+        cam = nn.Module()
+        cam.backbone = SwinSkeleton()
+        cam.neck = GeneralizedLSSFPNSkeleton()
+        cam.vtransform = LSSTransformSkeleton(downsample=2)
+        self.encoders = nn.Module()
+        self.encoders.camera = cam
+        self.decoder = nn.Module()
+        self.decoder.backbone = GeneralizedResNetSkeleton()
+        self.decoder.neck = LSSFPNSkeleton(scale_factor=2)
+        self.heads = nn.Module()
+        self.heads.object = CenterHeadSkeleton(cin=256)
+
+
+class CameraOnlySegSkeleton(nn.Module):
+    """Camera-only seg baseline (seg/camera-bev256d2.yaml)."""
+
+    def __init__(self):
+        super().__init__()
+        cam = nn.Module()
+        cam.backbone = SwinSkeleton()
+        cam.neck = GeneralizedLSSFPNSkeleton()
+        cam.vtransform = LSSTransformSkeleton(downsample=2)
+        self.encoders = nn.Module()
+        self.encoders.camera = cam
+        self.decoder = nn.Module()
+        self.decoder.backbone = GeneralizedResNetSkeleton()
+        self.decoder.neck = LSSFPNSkeleton(scale_factor=2)
+        self.heads = nn.Module()
+        self.heads.map = BEVSegmentationHeadSkeleton(cin=256)
+
+
+class LidarOnlyDetSkeleton(nn.Module):
+    """LiDAR-only TransFusion-L baseline (voxelnet_0p075.yaml)."""
+
+    def __init__(self):
+        super().__init__()
+        lidar = nn.Module()
+        lidar.backbone = SparseEncoderSkeleton()
+        self.encoders = nn.Module()
+        self.encoders.lidar = lidar
+        self.decoder = nn.Module()
+        self.decoder.backbone = SECONDSkeleton()
+        self.decoder.neck = SECONDFPNSkeleton()
+        self.heads = nn.Module()
+        self.heads.object = TransFusionHeadSkeleton(cin=512)
+
+
+class FusedSegSkeleton(nn.Module):
+    """Fused C+L seg baseline (seg/fusion-bev256d2-lss.yaml)."""
+
+    def __init__(self):
+        super().__init__()
+        cam = nn.Module()
+        cam.backbone = SwinSkeleton()
+        cam.neck = GeneralizedLSSFPNSkeleton()
+        cam.vtransform = LSSTransformSkeleton(downsample=2)
+        lidar = nn.Module()
+        # seg lidar encoder: sparse_shape [1024,1024,41], conv_out pad
+        # asymmetric (fusion-bev256d2-lss.yaml:55-73)
+        lidar.backbone = SparseEncoderSkeleton()
+        self.encoders = nn.Module()
+        self.encoders.camera = cam
+        self.encoders.lidar = lidar
+        self.fuser = ConvFuserSkeleton(cin=336, cout=256)
+        self.decoder = nn.Module()
+        self.decoder.backbone = SECONDSkeleton()
+        self.decoder.neck = SECONDFPNSkeleton()
+        self.heads = nn.Module()
+        self.heads.map = BEVSegmentationHeadSkeleton(cin=512)

@@ -1,0 +1,191 @@
+"""Per-stage latency profile of the flagship fused C+L detector.
+
+The TPU analogue of the reference's benchmark harness
+(tools/benchmark.py:58-87) but stage-resolved: each pipeline stage is
+jitted separately and timed with serialized device runs + one scalar
+fetch (on the tunneled axon platform block_until_ready does not
+synchronize; a scalar fetch does, and queued runs serialize).
+
+Usage: python tools/profile_stages.py [--iters 20] [--points 120000]
+Prints a markdown table for PERFORMANCE.md.
+
+Per-stage jit loses inter-stage fusion, so the sum exceeds the fused
+whole-model time — use this for *ranking* bottlenecks, bench.py for the
+headline number.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--points", type=int, default=120000)
+    ap.add_argument("--lidar", default="scan", choices=["scan", "uniform"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from bevfusion_tpu.runtime.flagship import build_flagship, synthetic_batch
+    from bevfusion_tpu.config import load_config
+    from bevfusion_tpu.models import build_model
+    from bevfusion_tpu.runtime.flagship import FLAGSHIP_CONFIG
+
+    cfg = load_config(FLAGSHIP_CONFIG)
+    model = build_model(cfg.model, dtype=jnp.bfloat16)
+    batch = synthetic_batch(cfg, B=1, num_points=args.points,
+                            lidar=args.lidar)
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, training=False)
+    )(batch)
+
+    rows = []
+
+    def timed(name, fn, *fargs, iters=args.iters):
+        @jax.jit
+        def f(*a):
+            out = fn(*a)
+            leaves = jax.tree_util.tree_leaves(out)
+            chk = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves
+                      if hasattr(l, "dtype"))
+            return out, chk
+
+        out, chk = f(*fargs)          # compile
+        float(np.asarray(chk))
+        for _ in range(3):            # warmup
+            out, chk = f(*fargs)
+        float(np.asarray(chk))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, chk = f(*fargs)
+        float(np.asarray(chk))
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        rows.append((name, dt))
+        print(f"{name:34s} {dt:8.2f} ms", flush=True)
+        return out
+
+    mats = {k: batch[k] for k in (
+        "camera2ego", "lidar2ego", "lidar2camera", "lidar2image",
+        "camera_intrinsics", "camera2lidar", "img_aug_matrix",
+        "lidar_aug_matrix") if k in batch}
+
+    # ---- camera branch -------------------------------------------------
+    def cam_backbone(m, img):
+        B, N, H, W, C = img.shape
+        return m.camera_backbone(img.reshape(B * N, H, W, C).astype(m.dtype),
+                                 training=False)
+
+    feats = timed("camera/backbone (Swin-T)",
+                  lambda img: model.apply(variables, img,
+                                          method=cam_backbone,
+                                          mutable=["batch_stats"])[0],
+                  batch["img"])
+
+    def cam_neck(m, f):
+        out = m.camera_neck(f, training=False)
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    neck = timed("camera/neck (GeneralizedLSSFPN)",
+                 lambda f: model.apply(variables, f, method=cam_neck,
+                                       mutable=["batch_stats"])[0],
+                 feats)
+
+    B = batch["img"].shape[0]
+    N = batch["img"].shape[1]
+    fH, fW, fC = neck.shape[1:]
+    neck_r = neck.reshape(B, N, fH, fW, fC)
+
+    def vtrans(m, f, pts, msk):
+        return m.camera_vtransform(f, pts, msk, mats, training=False)
+
+    cam_bev = timed("camera/vtransform (DepthLSS+pool)",
+                    lambda f, p, mk: model.apply(
+                        variables, f, p, mk, method=vtrans,
+                        mutable=["batch_stats"])[0],
+                    neck_r, batch["points"], batch["points_mask"])
+
+    # ---- lidar branch --------------------------------------------------
+    def vox(m, pts, msk):
+        return m.lidar_voxelize(pts, msk, training=False)
+
+    vout = timed("lidar/voxelize",
+                 lambda p, mk: model.apply(variables, p, mk, method=vox,
+                                           mutable=["batch_stats"])[0],
+                 batch["points"], batch["points_mask"])
+    vfeats, vcoords, vsizes, vmask = vout
+    M = vfeats.shape[0] // B
+    coords_xyz = vcoords.reshape(B, M, 4)[..., 1:]
+    vmask_r = vmask.reshape(B, M)
+    vfeats_r = vfeats.reshape(B, M, -1)
+
+    def lbb(m, f, c, mk):
+        return m.lidar_backbone(f.astype(m.dtype), c, mk, training=False)
+
+    lidar_bev = timed("lidar/sparse_encoder",
+                      lambda f, c, mk: model.apply(
+                          variables, f, c, mk, method=lbb,
+                          mutable=["batch_stats", "intermediates"])[0],
+                      vfeats_r, coords_xyz, vmask_r)
+
+    # ---- fusion + decoder + heads --------------------------------------
+    def fuse(m, a, b_):
+        return m.fuser_module([a, b_], training=False)
+
+    fused = timed("fuser (ConvFuser)",
+                  lambda a, b_: model.apply(variables, a, b_, method=fuse,
+                                            mutable=["batch_stats"])[0],
+                  cam_bev, lidar_bev)
+
+    def dec_bb(m, x):
+        return m.decoder_backbone(x, training=False)
+
+    sec = timed("decoder/backbone (SECOND)",
+                lambda x: model.apply(variables, x, method=dec_bb,
+                                      mutable=["batch_stats"])[0],
+                fused)
+
+    def dec_neck(m, x):
+        out = m.decoder_neck(x, training=False)
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    neck2 = timed("decoder/neck (SECONDFPN)",
+                  lambda x: model.apply(variables, x, method=dec_neck,
+                                        mutable=["batch_stats"])[0],
+                  sec)
+
+    def head_fwd(m, x):
+        return m.head_modules["object"](x, training=False)
+
+    preds = timed("head/forward (TransFusion)",
+                  lambda x: model.apply(variables, x, method=head_fwd,
+                                        mutable=["batch_stats"])[0],
+                  neck2)
+
+    def head_decode(m, p):
+        return m.head_modules["object"].get_bboxes(p)
+
+    timed("head/decode (get_bboxes+NMS)",
+          lambda p: model.apply(variables, p, method=head_decode,
+                                mutable=["batch_stats"])[0],
+          preds)
+
+    total = sum(dt for _, dt in rows)
+    print("\n| stage | ms |\n|---|---|")
+    for name, dt in rows:
+        print(f"| {name} | {dt:.2f} |")
+    print(f"| **sum (stage-jitted)** | **{total:.2f}** |")
+
+
+if __name__ == "__main__":
+    main()
