@@ -340,8 +340,7 @@ def test_transfusion_head_forward_and_decode_golden_vs_torch():
     assert np.max(np.abs(got_dense - want_dense)) <= 2e-3
 
     # ---- decode + NMS -------------------------------------------------
-    out = model.apply(vars2, preds, training=False,
-                      method=TransFusionHead.get_bboxes)
+    out = model.apply(vars2, preds, method=TransFusionHead.get_bboxes)
     m = np.asarray(out["mask"])[0]
     got_boxes = np.asarray(out["bboxes"])[0][m]
     got_scores = np.asarray(out["scores"])[0][m]
@@ -441,8 +440,7 @@ def test_centerhead_forward_and_decode_golden_vs_torch():
             assert err <= 2e-3 * scale, (t, k, err, scale)
 
     # ---- decode + rotate NMS chain ------------------------------------
-    out = model.apply(vars2, preds, training=False,
-                      method=CenterHead.get_bboxes)
+    out = model.apply(vars2, preds, method=CenterHead.get_bboxes)
     m = np.asarray(out["mask"])[0]
     got_boxes = np.asarray(out["bboxes"])[0][m]
     got_scores = np.asarray(out["scores"])[0][m]

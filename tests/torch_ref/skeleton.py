@@ -421,8 +421,12 @@ class CameraOnlyDetSkeleton(nn.Module):
         self.encoders = nn.Module()
         self.encoders.camera = cam
         self.decoder = nn.Module()
-        self.decoder.backbone = GeneralizedResNetSkeleton()
-        self.decoder.neck = LSSFPNSkeleton(scale_factor=2)
+        # swint leaf overrides decoder widths to 128/256/512
+        # (configs/.../camera/256x704/swint/default.yaml:47-59)
+        self.decoder.backbone = GeneralizedResNetSkeleton(
+            blocks=((2, 128, 2), (2, 256, 2), (2, 512, 1)))
+        self.decoder.neck = LSSFPNSkeleton(in_channels=(512, 128),
+                                           scale_factor=2)
         self.heads = nn.Module()
         self.heads.object = CenterHeadSkeleton(cin=256)
 

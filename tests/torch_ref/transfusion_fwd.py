@@ -59,7 +59,9 @@ def transfusion_forward(skel, feats, num_proposals, num_classes,
     flat = lidar_feat.view(B, C, H * W)
     bev_pos = create_2D_grid(H, W).repeat(B, 1, 1)
 
-    dense_heatmap = skel.heatmap_head(lidar_feat)
+    # heatmap_head = ConvModule (param-only skeleton: conv+bn, ReLU) + Conv2d
+    cm = skel.heatmap_head[0]
+    dense_heatmap = skel.heatmap_head[1](F.relu(cm.bn(cm.conv(lidar_feat))))
     heatmap = dense_heatmap.detach().sigmoid()
     padding = nms_kernel_size // 2
     local_max = torch.zeros_like(heatmap)
@@ -72,7 +74,7 @@ def transfusion_forward(skel, feats, num_proposals, num_classes,
     heatmap = heatmap * (heatmap == local_max)
     heatmap = heatmap.view(B, num_classes, -1)
 
-    top = heatmap.view(B, -1).argsort(dim=-1, descending=True)[..., :P]
+    top = heatmap.reshape(B, -1).argsort(dim=-1, descending=True)[..., :P]
     top_cls = top // heatmap.shape[-1]
     top_idx = top % heatmap.shape[-1]
     query_feat = flat.gather(
@@ -102,7 +104,7 @@ def transfusion_forward(skel, feats, num_proposals, num_classes,
 
 def coder_decode(heatmap, rot, dim, center, height, vel, pc_range,
                  out_size_factor, voxel_size, post_center_range,
-                 score_threshold=None):
+                 score_threshold=None, code_size=10):
     """transfusion_bbox_coder.py:39-121 with filter=True, but returning
     the full set + validity mask (static-shape form) instead of boolean
     indexing. All inputs [B, c, P] channel-first torch tensors."""
