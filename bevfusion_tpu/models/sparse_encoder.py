@@ -122,7 +122,11 @@ class _WindowedConv(nn.Module):
     over a per-stage WindowedRulebook. Parameter contract identical to
     _SparseConvNd: one "weight" [K, Cin, Cout] in kernel_offsets order.
     Cin may exceed the producer's channels (zero-padded input lanes,
-    e.g. the 5-channel voxel features padded to 16)."""
+    e.g. the 5-channel voxel features padded to 16).
+
+    Training runs through windowed_conv_ad (custom VJP: Pallas dW
+    accumulation + mirrored/transposed windowed backward-data,
+    matching spconv's indiceConvBackward, spconv_ops.h:364+)."""
 
     in_channels: int  # true producer width (the parameter's Cin)
     out_channels: int
@@ -133,9 +137,13 @@ class _WindowedConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, packed, wrbs, cap_out: int, slack: int):
+    def __call__(self, packed, wrbs, cap_out: int, slack: int,
+                 training: bool = False, wrbs_bwd=None, slack_bwd: int = 0,
+                 cap_in: int = 0, mirror: bool = True):
         """packed [B, capP_in, 128]; wrbs = per-sample WindowedRulebook
-        (leaves stacked on axis 0). Returns [B, cap_out/P_out, 128]."""
+        (leaves stacked on axis 0). Returns [B, cap_out/P_out, 128].
+        Training with mirror=False requires wrbs_bwd (transposed
+        rulebook over the output sites with Cout packing)."""
         lane_c = self.lane_channels or self.in_channels
         w = self.param(
             "weight",
@@ -149,8 +157,19 @@ class _WindowedConv(nn.Module):
         outs = []
         for b in range(B):
             wrb = wg.WindowedRulebook(wrbs.s8[b], wrbs.sel[b], wrbs.overflow[b])
-            outs.append(wg.windowed_gather_gemm(
-                packed[b], wrb, w, self.out_channels, cap_out, slack=slack))
+            if training:
+                if wrbs_bwd is not None:
+                    wrb_b = wg.WindowedRulebook(
+                        wrbs_bwd.s8[b], wrbs_bwd.sel[b], wrbs_bwd.overflow[b])
+                else:
+                    wrb_b = wrb
+                outs.append(wg.windowed_conv_ad(
+                    packed[b], w, wrb, wrb_b, self.out_channels, cap_out,
+                    cap_in or cap_out, slack, slack_bwd or slack, mirror))
+            else:
+                outs.append(wg.windowed_gather_gemm(
+                    packed[b], wrb, w, self.out_channels, cap_out,
+                    slack=slack))
         return jnp.stack(outs)
 
 
@@ -301,11 +320,11 @@ class SparseEncoder(nn.Module):
 
         engine = self.engine
         if engine == "auto":
-            # windowed Pallas kernels carry no VJP yet: auto picks them
-            # for TPU inference; training uses the differentiable
-            # gather/dense path (identical parameters and numerics)
+            # windowed Pallas kernels (with custom VJP for training)
+            # on TPU; the gather/dense path elsewhere (identical
+            # parameters and numerics)
             on_tpu = jax.default_backend() == "tpu"
-            engine = "windowed" if (on_tpu and not training) else "gather"
+            engine = "windowed" if on_tpu else "gather"
         if engine == "windowed":
             return self._forward_windowed(feats, ids, mask, grid, training)
 
@@ -492,11 +511,16 @@ class SparseEncoder(nn.Module):
         overflow = []  # per-conv dropped-neighbor counts (diagnostic)
 
         def conv(name, packed_, wrbs, cin, cout, cap_out, K=27, lane_c=0,
-                 slack_=None):
+                 slack_=None, wrbs_bwd=None, slack_bwd=0, cap_in=0,
+                 mirror=True):
             overflow.append(jnp.sum(wrbs.overflow))
+            if wrbs_bwd is not None:
+                overflow.append(jnp.sum(wrbs_bwd.overflow))
             return _WindowedConv(cin, cout, K, lane_channels=lane_c,
                                  dtype=self.dtype, name=name)(
-                packed_, wrbs, cap_out, slack_ or slack)
+                packed_, wrbs, cap_out, slack_ or slack, training=training,
+                wrbs_bwd=wrbs_bwd, slack_bwd=slack_bwd, cap_in=cap_in,
+                mirror=mirror)
 
         def bn(name, packed_, mask_, cout):
             cfg = self.norm_cfg or {}
@@ -552,8 +576,22 @@ class SparseEncoder(nn.Module):
                     swrbs = jax.vmap(
                         lambda n: wg.build_windowed_rulebook(
                             n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)
+                    twrbs = None
+                    if training:
+                        # backward-data rulebook: transpose pairing over
+                        # the output sites with Cout packing
+                        nbr_t = jax.vmap(
+                            lambda ii, oi: sp.build_conv_transpose_rulebook(
+                                ii, oi, g_in, out_grid, 3, 2, padding)
+                        )(ids, out_ids)
+                        twrbs = jax.vmap(
+                            lambda n: wg.build_windowed_rulebook(
+                                n, out_ch, cap_in=cap_out, slack=2 * slack)
+                        )(nbr_t)
                     packed = conv(f"{name}_spconv", packed, swrbs, in_ch,
-                                  out_ch, cap_out, slack_=4 * slack)
+                                  out_ch, cap_out, slack_=4 * slack,
+                                  wrbs_bwd=twrbs, slack_bwd=2 * slack,
+                                  cap_in=cap, mirror=False)
                     ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
                     packed = bn(f"{name}_bn", packed, mask, out_ch)
                     packed = nn.relu(packed)
@@ -587,8 +625,19 @@ class SparseEncoder(nn.Module):
         owrbs = jax.vmap(
             lambda n: wg.build_windowed_rulebook(
                 n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)
+        otwrbs = None
+        if training:
+            nbr_t = jax.vmap(
+                lambda ii, oi: sp.build_conv_transpose_rulebook(
+                    ii, oi, g_fin, out_grid, k_out, s_out, p_out)
+            )(ids, out_ids)
+            otwrbs = jax.vmap(
+                lambda n: wg.build_windowed_rulebook(
+                    n, self.output_channels, cap_in=cap, slack=2 * slack)
+            )(nbr_t)
         packed = conv("conv_out", packed, owrbs, in_ch, self.output_channels,
-                      cap, K=3, slack_=4 * slack)
+                      cap, K=3, slack_=4 * slack, wrbs_bwd=otwrbs,
+                      slack_bwd=2 * slack, cap_in=cap, mirror=False)
         ids, mask, grid = out_ids, out_mask, out_grid
         packed = bn("bn_out", packed, mask, self.output_channels)
         packed = nn.relu(packed)

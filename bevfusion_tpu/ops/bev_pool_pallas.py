@@ -269,7 +269,12 @@ def _fwd(depth, ctx, cell_ids, valid, Z, X, Y):
 def _bwd(Z, X, Y, res, g):
     """Natural (pixel-major) order backward — no sort needed:
     d_depth[p, d] = <ctx[p], g[cell(p, d)]>;
-    d_ctx[p] = sum_d depth[p, d] * g[cell(p, d)]."""
+    d_ctx[p] = sum_d depth[p, d] * g[cell(p, d)].
+
+    Scans over the depth-bin axis so the gathered gradient rows peak at
+    [B, N, fH, fW, C] (one bin) instead of materializing the full
+    [B, N, D, fH, fW, C] frustum gradient (~640 MB f32 at flagship
+    scale — the round-2 training-memory hazard)."""
     depth, ctx, cell_ids, valid = res
     B, N, D, fH, fW = depth.shape
     C = ctx.shape[-1]
@@ -278,18 +283,27 @@ def _bwd(Z, X, Y, res, g):
     gf = g.reshape(B, X, Y, Z, C).transpose(0, 3, 1, 2, 4).reshape(
         B, num_cells, C).astype(jnp.float32)
 
-    ids = jnp.where(valid, cell_ids, 0).reshape(B, -1)
-    ok = valid.reshape(B, -1)
-    grows = jax.vmap(lambda gb, ib: jnp.take(gb, ib, axis=0))(gf, ids)
-    grows = jnp.where(ok[..., None], grows, 0.0)
-    grows = grows.reshape(B, N, D, fH, fW, C)
+    ids = jnp.where(valid, cell_ids, 0)          # [B, N, D, fH, fW]
+    ok = valid
+    ctx_f = ctx.astype(jnp.float32)              # [B, N, fH, fW, C]
 
-    d_depth = jnp.einsum(
-        "bndhwc,bnhwc->bndhw", grows, ctx.astype(jnp.float32)
-    ).astype(depth.dtype)
-    d_ctx = jnp.einsum(
-        "bndhwc,bndhw->bnhwc", grows, depth.astype(jnp.float32)
-    ).astype(ctx.dtype)
+    def step(acc_ctx, xs):
+        ids_d, ok_d, dep_d = xs                  # [B, N, fH, fW](, ...)
+        rows = jax.vmap(lambda gb, ib: jnp.take(gb, ib.reshape(-1), axis=0))(
+            gf, ids_d.reshape(B, -1))
+        rows = rows.reshape(B, N, fH, fW, C)
+        rows = jnp.where(ok_d[..., None], rows, 0.0)
+        dd = jnp.einsum("bnhwc,bnhwc->bnhw", rows, ctx_f)
+        acc_ctx = acc_ctx + rows * dep_d[..., None].astype(jnp.float32)
+        return acc_ctx, dd
+
+    acc0 = jnp.zeros((B, N, fH, fW, C), jnp.float32)
+    acc_ctx, dds = jax.lax.scan(
+        step, acc0,
+        (ids.transpose(2, 0, 1, 3, 4), ok.transpose(2, 0, 1, 3, 4),
+         depth.transpose(2, 0, 1, 3, 4)))
+    d_depth = dds.transpose(1, 2, 0, 3, 4).astype(depth.dtype)
+    d_ctx = acc_ctx.astype(ctx.dtype)
     return d_depth, d_ctx, None, None
 
 

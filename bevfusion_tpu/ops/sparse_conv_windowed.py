@@ -50,6 +50,8 @@ __all__ = [
     "unpack_sites",
     "build_windowed_rulebook",
     "windowed_gather_gemm",
+    "windowed_gather_dw",
+    "windowed_conv_ad",
 ]
 
 BLK = 512  # output sites per grid step
@@ -244,3 +246,177 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
         interpret=interpret,
     )(wrb.s8, wrb.sel, feats_packed, wmat)
     return out[: cap_out // Pout]
+
+
+def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
+               K, Cin, Cout, WP, P, Pout, blk):
+    """Weight-gradient kernel: same windowed gather as _kernel to build
+    A [BLK, K*Cin], then accumulate dW += A^T @ dout_blk across blocks
+    (the transposed GEMM of spconv's indiceConvBackward filters-grad,
+    spconv_ops.h:364+)."""
+    b = pl.program_id(0)
+    BLK = blk
+    BLKPo = BLK // Pout
+
+    def dma(k, slot):
+        start = pl.multiple_of(s8_ref[b, k], 8)
+        return pltpu.make_async_copy(
+            fp_hbm.at[pl.ds(start, WP)], win.at[slot], sems.at[slot]
+        )
+
+    dma(0, 0).start()
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
+    KC = K * Cin
+    if a_scr.shape[1] > KC:
+        a_scr[:, KC:] = jnp.zeros((BLK, a_scr.shape[1] - KC), jnp.bfloat16)
+
+    for k in range(K):
+        if k + 1 < K:
+            dma(k + 1, (k + 1) % 2).start()
+        v = sel_ref[0, :, k]
+        relp = v // 256 - 1
+        lane = v % 256
+        oh = (rows_iota == relp[:, None]).astype(jnp.bfloat16)
+        dma(k, k % 2).wait()
+        g8 = jnp.dot(oh, win[k % 2], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.DEFAULT)
+        idx = jnp.minimum(lane[:, None] + lane_iota, 127)
+        g = jnp.take_along_axis(g8, idx, axis=1)
+        a_scr[:, k * Cin:(k + 1) * Cin] = g[:, :Cin].astype(jnp.bfloat16)
+
+    # unpack dout [BLKPo, 128] -> [BLK, Cout] with static one-hot selects
+    dp = dout_ref[...]
+    if Pout == 1:
+        dmat = dp
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLKPo), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLKPo), 1)
+        acc = None
+        for p in range(Pout):
+            S = (rows == cols * Pout + p).astype(jnp.bfloat16)
+            piece = dp[:, p * Cout:(p + 1) * Cout]
+            c = jnp.dot(S, piece, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            acc = c if acc is None else acc + c
+        dmat = acc.astype(jnp.bfloat16)
+
+    dwb = jax.lax.dot_general(
+        a_scr[...], dmat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # [KCpad, Cout]
+
+    @pl.when(b == 0)
+    def _():
+        dw_ref[...] = dwb
+
+    @pl.when(b > 0)
+    def _():
+        dw_ref[...] += dwb
+
+
+def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
+                       K: int, Cin: int, Cout: int, slack: int = SLACK,
+                       blk: int = BLK):
+    """Weight gradient of windowed_gather_gemm: feats_packed
+    [capP_in, 128] bf16, dout_packed [cap_out/P_out, 128] bf16 ->
+    dW [K, Cin, Cout] f32."""
+    P = pack_factor(Cin)
+    Pout = pack_factor(Cout)
+    nblocks = wrb.s8.shape[0]
+    WP = max(slack * (blk // P), 8)
+    BLKPo = blk // Pout
+
+    if feats_packed.shape[0] < WP:
+        feats_packed = jnp.pad(
+            feats_packed, ((0, WP - feats_packed.shape[0]), (0, 0)))
+    # pad dout to the rulebook's padded block count (zero rows for the
+    # site-cap tail; their A rows are zero anyway)
+    need = nblocks * BLKPo
+    if dout_packed.shape[0] < need:
+        dout_packed = jnp.pad(
+            dout_packed, ((0, need - dout_packed.shape[0]), (0, 0)))
+
+    KC = K * Cin
+    KCpad = (KC + 127) // 128 * 128
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, blk, wrb.sel.shape[2]), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((BLKPo, 128), lambda b, m: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((KCpad, Cout), lambda b, m: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, WP, 128), jnp.bfloat16),
+            pltpu.VMEM((blk, KCpad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kern = functools.partial(_kernel_dw, K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
+                             Pout=Pout, blk=blk)
+    dw = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((KCpad, Cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(wrb.s8, wrb.sel, feats_packed, dout_packed)
+    return dw[:KC].reshape(K, Cin, Cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def windowed_conv_ad(feats_packed, weight, wrb, wrb_bwd,
+                     Cout: int, cap_out: int, cap_in: int,
+                     slack: int, slack_bwd: int, mirror: bool):
+    """Differentiable windowed conv (training path of the windowed
+    engine; reference trains through spconv's indiceConvBackward,
+    spconv_ops.h:364+).
+
+    feats_packed [cap_in/P, 128] bf16; weight [K, Cin, Cout].
+    mirror=True (submanifold): input/output site sets coincide and
+    Cin == Cout, so backward-data reuses the FORWARD rulebook with the
+    offset-mirrored transposed weight (pair (o,k)=(i) <-> (i,K-1-k)=(o)).
+    mirror=False (strided): wrb_bwd must be the windowed rulebook built
+    from build_conv_transpose_rulebook over the OUTPUT sites with the
+    output channel packing. A fwd-dropped window-overflow pair is
+    dropped identically in backward (same table), so the gradient is
+    exact for the computed forward.
+    """
+    return windowed_gather_gemm(feats_packed, wrb, weight, Cout, cap_out,
+                                slack=slack)
+
+
+def _wc_fwd(feats_packed, weight, wrb, wrb_bwd, Cout, cap_out, cap_in,
+            slack, slack_bwd, mirror):
+    out = windowed_gather_gemm(feats_packed, wrb, weight, Cout, cap_out,
+                               slack=slack)
+    return out, (feats_packed, weight, wrb, wrb_bwd)
+
+
+def _wc_bwd(Cout, cap_out, cap_in, slack, slack_bwd, mirror, res, dout):
+    feats_packed, weight, wrb, wrb_bwd = res
+    K, Cin, _ = weight.shape
+    dout = dout.astype(jnp.bfloat16)
+
+    dw = windowed_gather_dw(feats_packed, wrb, dout, K, Cin, Cout,
+                            slack=slack).astype(weight.dtype)
+    if mirror:
+        assert Cin == Cout, "mirror backward requires Cin == Cout"
+        wt = weight[::-1].transpose(0, 2, 1).astype(jnp.bfloat16)
+        dx = windowed_gather_gemm(dout, wrb, wt, Cin, cap_in, slack=slack)
+    else:
+        wt = weight.transpose(0, 2, 1).astype(jnp.bfloat16)
+        dx = windowed_gather_gemm(dout, wrb_bwd, wt, Cin, cap_in,
+                                  slack=slack_bwd)
+    return dx.astype(feats_packed.dtype), dw, None, None
+
+
+windowed_conv_ad.defvjp(_wc_fwd, _wc_bwd)

@@ -175,3 +175,95 @@ def test_encoder_engine_parity_windowed_vs_gather():
     out_w = np.asarray(m_w.apply(v, feats, coords, mask, training=False),
                        np.float32)
     np.testing.assert_allclose(out_w, out_g, rtol=0, atol=1e-3)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
+@pytest.mark.parametrize("cin,cout", [(16, 16), (64, 64)])
+def test_windowed_vjp_subm_matches_oracle_grads(cin, cout):
+    """windowed_conv_ad backward (mirrored windowed data-grad + Pallas
+    dW accumulation) vs jax.grad through the XLA gather oracle
+    (reference backward: spconv_ops.h:364+)."""
+    grid = sp.SparseGrid(64, 64, 16)
+    ids = _sites(2048, grid, seed=cin)
+    cap = ids.shape[0]
+    rng = np.random.RandomState(2)
+    nbr = sp.build_subm_rulebook(ids, grid, 3)
+    feats = jnp.asarray(rng.rand(cap, cin).astype(np.float32))
+    w = jnp.asarray((rng.rand(27, cin, cout) * 0.2).astype(np.float32))
+    gout = jnp.asarray(rng.rand(cap, cout).astype(np.float32))
+
+    def loss_oracle(f, w_):
+        y = sp.subm_gather_gemm(f.astype(jnp.bfloat16),
+                                nbr, w_.astype(jnp.bfloat16))
+        return jnp.sum(y.astype(jnp.float32) * gout)
+
+    want_df, want_dw = jax.grad(loss_oracle, argnums=(0, 1))(feats, w)
+
+    wrb = wg.build_windowed_rulebook(nbr, cin)
+    assert int(wrb.overflow) == 0
+
+    def loss_win(f, w_):
+        y = wg.windowed_conv_ad(
+            wg.pack_sites(f.astype(jnp.bfloat16), cin), w_.astype(jnp.bfloat16),
+            wrb, wrb, cout, cap, cap, wg.SLACK, wg.SLACK, True)
+        y = wg.unpack_sites(y, cout)
+        return jnp.sum(y.astype(jnp.float32) * gout)
+
+    got_df, got_dw = jax.grad(loss_win, argnums=(0, 1))(feats, w)
+
+    np.testing.assert_allclose(np.asarray(got_df, np.float32),
+                               np.asarray(want_df, np.float32),
+                               rtol=0, atol=5e-2)
+    scale = np.max(np.abs(np.asarray(want_dw)))
+    np.testing.assert_allclose(np.asarray(got_dw, np.float32),
+                               np.asarray(want_dw, np.float32),
+                               rtol=0, atol=2e-2 * max(scale, 1.0))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
+def test_windowed_vjp_strided_matches_oracle_grads():
+    """Strided windowed conv backward via the transposed rulebook
+    (build_conv_transpose_rulebook) vs the XLA oracle grads."""
+    grid = sp.SparseGrid(64, 64, 16)
+    ids = _sites(2048, grid, seed=11)
+    cap = ids.shape[0]
+    cin, cout = 32, 64
+    rng = np.random.RandomState(3)
+    og = sp.conv_out_shape(grid, 3, 2, 1)
+    cap_out = 1024
+    out_ids, out_mask = sp.downsample_sites(ids, grid, 3, 2, 1, cap_out)
+    cnbr = sp.build_conv_rulebook(ids, out_ids, grid, og, 3, 2, 1)
+    feats = jnp.asarray(rng.rand(cap, cin).astype(np.float32))
+    w = jnp.asarray((rng.rand(27, cin, cout) * 0.2).astype(np.float32))
+    gout = jnp.asarray(rng.rand(cap_out, cout).astype(np.float32))
+
+    def loss_oracle(f, w_):
+        y = sp.subm_gather_gemm(f.astype(jnp.bfloat16), cnbr,
+                                w_.astype(jnp.bfloat16))
+        return jnp.sum(y.astype(jnp.float32) * gout)
+
+    want_df, want_dw = jax.grad(loss_oracle, argnums=(0, 1))(feats, w)
+
+    swrb = wg.build_windowed_rulebook(cnbr, cin, cap_in=cap, slack=4 * wg.SLACK)
+    assert int(swrb.overflow) == 0
+    nbr_t = sp.build_conv_transpose_rulebook(ids, out_ids, grid, og, 3, 2, 1)
+    twrb = wg.build_windowed_rulebook(nbr_t, cout, cap_in=cap_out,
+                                      slack=2 * wg.SLACK)
+    assert int(twrb.overflow) == 0
+
+    def loss_win(f, w_):
+        y = wg.windowed_conv_ad(
+            wg.pack_sites(f.astype(jnp.bfloat16), cin), w_.astype(jnp.bfloat16),
+            swrb, twrb, cout, cap_out, cap, 4 * wg.SLACK, 2 * wg.SLACK, False)
+        y = wg.unpack_sites(y, cout)
+        return jnp.sum(y.astype(jnp.float32) * gout)
+
+    got_df, got_dw = jax.grad(loss_win, argnums=(0, 1))(feats, w)
+
+    np.testing.assert_allclose(np.asarray(got_df, np.float32),
+                               np.asarray(want_df, np.float32),
+                               rtol=0, atol=5e-2)
+    scale = np.max(np.abs(np.asarray(want_dw)))
+    np.testing.assert_allclose(np.asarray(got_dw, np.float32),
+                               np.asarray(want_dw, np.float32),
+                               rtol=0, atol=2e-2 * max(scale, 1.0))
