@@ -134,6 +134,8 @@ class _WindowedConv(nn.Module):
     # packed lane width the kernel sees; > in_channels only for the
     # first conv (5-channel voxel feats ride 16 lanes, zero-padded)
     lane_channels: int = 0
+    # offsets per window group (z-minor triples share one window)
+    kz: int = 3
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -165,11 +167,12 @@ class _WindowedConv(nn.Module):
                     wrb_b = wrb
                 outs.append(wg.windowed_conv_ad(
                     packed[b], w, wrb, wrb_b, self.out_channels, cap_out,
-                    cap_in or cap_out, slack, slack_bwd or slack, mirror))
+                    cap_in or cap_out, slack, slack_bwd or slack, mirror,
+                    self.kz))
             else:
                 outs.append(wg.windowed_gather_gemm(
                     packed[b], wrb, w, self.out_channels, cap_out,
-                    slack=slack))
+                    slack=slack, kz=self.kz))
         return jnp.stack(outs)
 
 
@@ -284,11 +287,15 @@ class SparseEncoder(nn.Module):
     # explicit per-downsample output-site caps (overrides the multiplier)
     site_caps: Optional[Sequence[int]] = None
     # stages >= this index run as dense masked MXU convs (numerically
-    # exact; the coarse grids fit HBM easily). -1 disables. Stage 2 is
-    # the sweet spot: earlier stages have <64 channels, and TPU lane
-    # padding (channels -> 128) would blow activations up 4x (observed
-    # OOM at stage 1: bf16[21,720,720,32] padded 4.6x).
-    dense_from_stage: int = 2
+    # exact; the coarse grids fit HBM easily). -1 disables. Stage 3 is
+    # the sweet spot for the windowed engine (measured r3): at stage 2
+    # the 360^2 grid is ~3% occupied and dense wastes 30x the FLOPs (a
+    # wash vs windowed); at stage 3 (180^2, 128 ch, ~7% occupied) dense
+    # z-as-batch 2D convs at ~74% MXU beat the windowed kernels ~4x AND
+    # delete the coarse-stage rulebook meta. Earlier stages have <64
+    # channels where lane padding (channels -> 128) blows activations up
+    # 4x (observed OOM at stage 1: bf16[21,720,720,32] padded 4.6x).
+    dense_from_stage: int = 3
     # execution engine: "auto" = windowed Pallas kernels on TPU, the
     # gather-GEMM + dense-stage path elsewhere; "windowed"/"gather"
     # force one. All engines share one parameter tree.
@@ -506,7 +513,8 @@ class SparseEncoder(nn.Module):
                 lambda i, t: sp.build_subm_rulebook(i, g, 3, table=t)
             )(ids_, tbl)
             return jax.vmap(
-                lambda n: wg.build_windowed_rulebook(n, C, slack=slack))(nbr)
+                lambda n: wg.build_windowed_rulebook(
+                    n, C, slack=slack, kz=3))(nbr)
 
         overflow = []  # per-conv dropped-neighbor counts (diagnostic)
 
@@ -543,7 +551,30 @@ class SparseEncoder(nn.Module):
         n_stages = len(self.encoder_channels)
         n_down = 0
 
+        # hybrid engine: from dense_from_stage on, unpack and run dense
+        # masked MXU convs (z-as-batch 2D convs hit ~74% MXU while the
+        # coarse grids fit HBM easily) — the coarse-stage rulebook meta
+        # and gather kernels disappear entirely. Numerically exact and
+        # parameter-compatible (weights/BN identical across engines).
+        dense_mode = False
+        dmask = None
+        feats = None
+
+        def densify_packed(packed_, ch):
+            f = wg.unpack_sites(packed_.reshape(-1, 128), ch).reshape(
+                B, cap, ch).astype(self.dtype)
+            d = jax.vmap(lambda fv, iv, mv: sp.to_dense_zmajor(
+                fv, iv, mv, grid))(f, ids, mask)
+            occ = jax.vmap(
+                lambda iv, mv: sp.to_dense_zmajor(
+                    jnp.ones(iv.shape + (1,), jnp.float32), iv, mv, grid)
+            )(ids, mask)[..., 0] > 0
+            return d, occ
+
         for i, blocks in enumerate(self.encoder_channels):
+            if not dense_mode and 0 <= self.dense_from_stage == i:
+                feats, dmask = densify_packed(packed, in_ch)
+                dense_mode = True
             for j, out_ch in enumerate(tuple(blocks)):
                 padding = tuple(self.encoder_paddings[i])[j]
                 is_strided = (
@@ -555,7 +586,24 @@ class SparseEncoder(nn.Module):
                     )
                 )
                 name = f"stage{i}_block{j}"
-                if is_strided:
+                if (is_strided and not dense_mode
+                        and 0 <= self.dense_from_stage <= i + 1):
+                    # densify BEFORE the strided conv into the dense
+                    # stage: the dense strided conv is ~1 ms on the MXU
+                    # and deletes a downsample_sites + conv rulebook +
+                    # windowed strided conv (~15 ms of meta+gather)
+                    feats, dmask = densify_packed(packed, in_ch)
+                    dense_mode = True
+                if is_strided and dense_mode:
+                    feats = _DenseConv3d(in_ch, out_ch, 3, 2, padding,
+                                         dtype=self.dtype,
+                                         name=f"{name}_spconv")(feats)
+                    dmask = _dilate_mask(dmask, 3, 2, padding)
+                    feats = self._bn(f"{name}_bn")(feats, dmask, training)
+                    feats = nn.relu(feats)
+                    grid = sp.conv_out_shape(grid, 3, 2, padding)
+                    n_down += 1
+                elif is_strided:
                     if self.site_caps is not None and n_down < len(self.site_caps):
                         cap_out = int(self.site_caps[n_down])
                     else:
@@ -566,16 +614,16 @@ class SparseEncoder(nn.Module):
                         lambda i_: sp.downsample_sites(i_, g_in, 3, 2, padding, cap_out)
                     )(ids)
                     cnbr = jax.vmap(
-                        lambda oi, ii: sp.build_conv_rulebook(
-                            ii, oi, g_in, out_grid, 3, 2, padding)
-                    )(out_ids, ids)
+                        lambda oi, ii, t: sp.build_conv_rulebook(
+                            ii, oi, g_in, out_grid, 3, 2, padding, table=t)
+                    )(out_ids, ids, tables["cur"])
                     # a stride-2 conv's output block covers up to ~8x
                     # (stride^3) as many input sites in dense regions, so
                     # strided windows need 4x the subm slack (measured:
                     # slack 8 is exact on fully-dense truncated regions)
                     swrbs = jax.vmap(
                         lambda n: wg.build_windowed_rulebook(
-                            n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)
+                            n, in_ch, cap_in=cap, slack=4 * slack, kz=3))(cnbr)
                     twrbs = None
                     if training:
                         # backward-data rulebook: transpose pairing over
@@ -586,7 +634,8 @@ class SparseEncoder(nn.Module):
                         )(ids, out_ids)
                         twrbs = jax.vmap(
                             lambda n: wg.build_windowed_rulebook(
-                                n, out_ch, cap_in=cap_out, slack=2 * slack)
+                                n, out_ch, cap_in=cap_out, slack=2 * slack,
+                                kz=3)
                         )(nbr_t)
                     packed = conv(f"{name}_spconv", packed, swrbs, in_ch,
                                   out_ch, cap_out, slack_=4 * slack,
@@ -597,6 +646,17 @@ class SparseEncoder(nn.Module):
                     packed = nn.relu(packed)
                     wrbs = subm_wrb(ids, grid, out_ch)
                     n_down += 1
+                elif self.block_type == "basicblock" and dense_mode:
+                    identity = feats
+                    y = _DenseConv3d(in_ch, out_ch, 3, 1, 1, dtype=self.dtype,
+                                     name=f"{name}_conv1")(feats)
+                    y = self._bn(f"{name}_bn1")(y, dmask, training)
+                    y = nn.relu(y)
+                    y = _DenseConv3d(out_ch, out_ch, 3, 1, 1, dtype=self.dtype,
+                                     name=f"{name}_conv2")(y)
+                    y = self._bn(f"{name}_bn2")(y, dmask, training)
+                    feats = nn.relu(y + identity)
+                    feats = jnp.where(dmask[..., None], feats, 0.0)
                 elif self.block_type == "basicblock":
                     identity = packed
                     y = conv(f"{name}_conv1", packed, wrbs, in_ch, out_ch, cap)
@@ -605,6 +665,11 @@ class SparseEncoder(nn.Module):
                     y = conv(f"{name}_conv2", y, wrbs, out_ch, out_ch, cap)
                     y = bn(f"{name}_bn2", y, mask, out_ch)
                     packed = nn.relu(y + identity)
+                elif dense_mode:
+                    y = _DenseConv3d(in_ch, out_ch, 3, 1, padding,
+                                     dtype=self.dtype, name=f"{name}_conv")(feats)
+                    y = self._bn(f"{name}_bn")(y, dmask, training)
+                    feats = nn.relu(y)
                 else:
                     y = conv(f"{name}_conv", packed, wrbs, in_ch, out_ch, cap)
                     y = bn(f"{name}_bn", y, mask, out_ch)
@@ -613,6 +678,19 @@ class SparseEncoder(nn.Module):
 
         # conv_out: SparseConv3d (1,1,3)/(1,1,2) (sparse_encoder.py:87-97)
         k_out, s_out, p_out = (1, 1, 3), (1, 1, 2), 0
+        if dense_mode:
+            feats = _DenseConv3d(in_ch, self.output_channels, k_out, s_out,
+                                 p_out, dtype=self.dtype, name="conv_out")(feats)
+            dmask = _dilate_mask(dmask, k_out, s_out, p_out)
+            feats = self._bn("bn_out")(feats, dmask, training)
+            feats = nn.relu(feats)
+            self.sow("intermediates", "window_overflow",
+                     sum(overflow[1:], overflow[0]))
+            # [B, Z, X, Y, C] -> [B, X, Y, Z, C]
+            dense = feats.transpose(0, 2, 3, 1, 4)
+            B_, X, Y, Z, C = dense.shape
+            return dense.transpose(0, 1, 2, 4, 3).reshape(B_, X, Y, C * Z)
+
         out_grid = sp.conv_out_shape(grid, k_out, s_out, p_out)
         g_fin = grid
         out_ids, out_mask = jax.vmap(
@@ -624,7 +702,7 @@ class SparseEncoder(nn.Module):
         )(out_ids, ids, tables["cur"])
         owrbs = jax.vmap(
             lambda n: wg.build_windowed_rulebook(
-                n, in_ch, cap_in=cap, slack=4 * slack))(cnbr)
+                n, in_ch, cap_in=cap, slack=4 * slack, kz=3))(cnbr)
         otwrbs = None
         if training:
             nbr_t = jax.vmap(
@@ -633,7 +711,8 @@ class SparseEncoder(nn.Module):
             )(ids, out_ids)
             otwrbs = jax.vmap(
                 lambda n: wg.build_windowed_rulebook(
-                    n, self.output_channels, cap_in=cap, slack=2 * slack)
+                    n, self.output_channels, cap_in=cap, slack=2 * slack,
+                    kz=3)
             )(nbr_t)
         packed = conv("conv_out", packed, owrbs, in_ch, self.output_channels,
                       cap, K=3, slack_=4 * slack, wrbs_bwd=otwrbs,

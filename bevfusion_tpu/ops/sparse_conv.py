@@ -163,6 +163,35 @@ def _fetch_columns(table: ColumnTable, col):
     return lo, hi, rows[..., 2]
 
 
+def build_neighborhood_table(table: ColumnTable, grid: SparseGrid):
+    """[X*Y, 3] column table -> [X*Y, 27] holding the full 3x3 column
+    neighborhood's (lo, hi, start) per center column.
+
+    Rationale: rulebook construction is descriptor-bound — 9 separate
+    column gathers per site dominate build_subm_rulebook (measured
+    ~3.6 ms/stage at 120k sites, ~300M rows/s). The neighborhood rows
+    are built with NINE ELEMENTWISE 2D rolls (free bandwidth-wise) so
+    each site then needs ONE 108-byte row gather. Wrapped border
+    entries are torn off by the callers' coordinate-validity masks.
+    Lane n = ((dx+1)*3 + (dy+1)) * 3 + {lo, hi, start}.
+    """
+    img = table.packed.reshape(grid.X, grid.Y, 3)
+    parts = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            parts.append(jnp.roll(img, shift=(-dx, -dy), axis=(0, 1)))
+    return jnp.concatenate(parts, axis=-1).reshape(grid.X * grid.Y, 27)
+
+
+def _fetch_neighborhood(nbh_rows, dx: int, dy: int):
+    """Extract (lo, hi, start) for neighborhood offset (dx, dy) from
+    pre-gathered [N, 27] rows (dx, dy in {-1, 0, 1})."""
+    n = ((dx + 1) * 3 + (dy + 1)) * 3
+    lo = jax.lax.bitcast_convert_type(nbh_rows[..., n], jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(nbh_rows[..., n + 1], jnp.uint32)
+    return lo, hi, nbh_rows[..., n + 2]
+
+
 def _rank_below(lo, hi, z):
     """Number of set bits strictly below z in a (lo, hi) column mask."""
     zlo = jnp.clip(z, 0, 31).astype(jnp.uint32)  # safe shift amounts
@@ -219,14 +248,24 @@ def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None):
     valid = ids < grid.size
     XY = grid.X * grid.Y
 
+    nbh_rows = None
+    if kx == 3 and ky == 3:
+        # one 108-byte row gather replaces nine 12-byte ones
+        nbh = build_neighborhood_table(table, grid)
+        col0 = jnp.clip(x * grid.Y + y, 0, XY - 1)
+        nbh_rows = jnp.take(nbh, col0, axis=0)  # [cap, 27]
+
     cols_k = []  # per (dx, dy): list of per-kz row columns
     for dx in range(kx):
         for dy in range(ky):
             nx_ = x + (dx - px)
             ny_ = y + (dy - py)
             okc = (nx_ >= 0) & (nx_ < grid.X) & (ny_ >= 0) & (ny_ < grid.Y) & valid
-            col = jnp.clip(nx_ * grid.Y + ny_, 0, XY - 1)
-            lo, hi, st = _fetch_columns(table, col)
+            if nbh_rows is not None:
+                lo, hi, st = _fetch_neighborhood(nbh_rows, dx - px, dy - py)
+            else:
+                col = jnp.clip(nx_ * grid.Y + ny_, 0, XY - 1)
+                lo, hi, st = _fetch_columns(table, col)
             for dz in range(kz):
                 nz_ = z + (dz - pz)
                 ok = okc & (nz_ >= 0) & (nz_ < grid.Z)
@@ -448,14 +487,26 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
     out_valid = out_ids < out_grid.size
     XY = grid.X * grid.Y
 
+    nbh_rows = None
+    if (k[0] == 3 and k[1] == 3 and p[0] == 1 and p[1] == 1
+            and (out_grid.X - 1) * s[0] <= grid.X - 1
+            and (out_grid.Y - 1) * s[1] <= grid.Y - 1):
+        # input columns are the 3x3 neighborhood of (ox*s, oy*s): one
+        # wide row gather instead of nine (see build_neighborhood_table)
+        nbh = build_neighborhood_table(table, grid)
+        nbh_rows = jnp.take(nbh, ox * s[0] * grid.Y + oy * s[1], axis=0)
+
     cols_k = []
     for dx in range(k[0]):
         for dy in range(k[1]):
             ix = ox * s[0] - p[0] + dx
             iy = oy * s[1] - p[1] + dy
             okc = (ix >= 0) & (ix < grid.X) & (iy >= 0) & (iy < grid.Y) & out_valid
-            col = jnp.clip(ix * grid.Y + iy, 0, XY - 1)
-            lo, hi, st = _fetch_columns(table, col)
+            if nbh_rows is not None:
+                lo, hi, st = _fetch_neighborhood(nbh_rows, dx - 1, dy - 1)
+            else:
+                col = jnp.clip(ix * grid.Y + iy, 0, XY - 1)
+                lo, hi, st = _fetch_columns(table, col)
             for dz in range(k[2]):
                 iz = oz * s[2] - p[2] + dz
                 ok = okc & (iz >= 0) & (iz < grid.Z)

@@ -96,14 +96,24 @@ class WindowedRulebook(NamedTuple):
 
 
 def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
-                            slack: int = SLACK, blk: int = BLK):
+                            slack: int = SLACK, blk: int = BLK,
+                            kz: int = 1):
     """nbr [cap_out, K] int32 neighbor rows into the *input* site array
     (-1 miss), monotone per offset column (guaranteed by sorted site
     ids) -> WindowedRulebook. cap_in = input site count (defaults to
     cap_out; differs for strided convs). Smaller ``blk`` suits
     high-slack (strided) convs: the one-hot matmul cost per site scales
-    with slack * blk while window coverage stays slack * blk sites."""
+    with slack * blk while window coverage stays slack * blk sites.
+
+    ``kz``: adjacent kernel offsets per window GROUP. Offsets that share
+    a (dx, dy) column differ only by the z step, so their neighbor runs
+    are shifted by ±1 site and one window covers all kz of them — K/kz
+    DMAs and K/kz (kz·blk)-row one-hot matmuls instead of K, batching
+    the VPU work and keeping the MXU fed (kernel_offsets order is
+    z-minor, so groups are contiguous offset triples)."""
     cap, K = nbr.shape
+    assert K % kz == 0, (K, kz)
+    G = K // kz
     if cap_in is None:
         cap_in = cap
     P = pack_factor(C)
@@ -116,86 +126,118 @@ def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
     WP = max(slack * BLKP, 8)
     capP = cap_in // P  # rows of the (un-padded) packed input array
 
-    nb = nbr.reshape(nblocks, blk, K)
+    nb = nbr.reshape(nblocks, blk, G, kz)
     valid = nb >= 0
-    # first valid neighbor row per (block, offset) -> packed window start
-    first = jnp.min(jnp.where(valid, nb, cap_in), axis=1)  # [nblocks, K]
+    # first valid neighbor row per (block, group) -> packed window start
+    first = jnp.min(jnp.where(valid, nb, cap_in), axis=(1, 3))  # [nblocks, G]
     # window start: packed row, aligned down to the (8, 128) HBM tiling
     s8 = jnp.clip((first // P) & ~7, 0, max((capP - WP) & ~7, 0)).astype(jnp.int32)
 
-    rel = nb - s8[:, None, :] * P
+    rel = nb - s8[:, None, :, None] * P
     fits = valid & (rel < WP * P)
     overflow = jnp.sum(valid & ~fits).astype(jnp.int32)
     relp = jnp.where(fits, rel // P, -1)
     lane = jnp.where(fits, (rel % P) * C, 0)
-    sel = ((relp + 1) * 256 + lane).astype(jnp.int32)
+    sel = ((relp + 1) * 256 + lane).astype(jnp.int32).reshape(
+        nblocks, blk, K)
 
     Kpad = (K + 127) // 128 * 128
     sel = jnp.pad(sel, ((0, 0), (0, 0), (0, Kpad - K)))
+    # per-block any-valid flag (extra s8 column): sites are sorted with
+    # padding at the tail, so cap-padding blocks are contiguous — the
+    # kernels skip them entirely (writes zeros). At realistic occupancy
+    # 30-65% of blocks per stage are pure padding.
+    act = jnp.any(valid, axis=(1, 2, 3)).astype(jnp.int32)  # [nblocks]
+    s8 = jnp.concatenate([s8, act[:, None]], axis=1)
     return WindowedRulebook(s8, sel, overflow)
 
 
 def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
-            K, Cin, Cout, WP, P, Pout, blk):
+            K, Cin, Cout, WP, P, Pout, blk, kz=1):
     b = pl.program_id(0)
     BLK = blk
     BLKPo = BLK // Pout
+    G = K // kz
 
-    def dma(k, slot):
-        start = pl.multiple_of(s8_ref[b, k], 8)  # builder 8-aligns starts
+    def dma(g, slot):
+        start = pl.multiple_of(s8_ref[b, g], 8)  # builder 8-aligns starts
         return pltpu.make_async_copy(
             fp_hbm.at[pl.ds(start, WP)], win.at[slot], sems.at[slot]
         )
 
-    dma(0, 0).start()
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
-    KC = K * Cin
-    if a_scr.shape[1] > KC:
-        # zero the padded tail once: the final matmul reads it (padded
-        # weight rows are zero, but VMEM scratch can hold NaNs)
-        a_scr[:, KC:] = jnp.zeros((BLK, a_scr.shape[1] - KC), jnp.bfloat16)
+    # active-block gate (last s8 column): cap-padding blocks sit at the
+    # sorted tail and write zeros without any DMA/compute
+    act = s8_ref[b, G]
 
-    for k in range(K):
-        if k + 1 < K:
-            dma(k + 1, (k + 1) % 2).start()
-        v = sel_ref[0, :, k]  # [BLK] int32
-        relp = v // 256 - 1
-        lane = v % 256
-        oh = (rows_iota == relp[:, None]).astype(jnp.bfloat16)
-        dma(k, k % 2).wait()
-        g8 = jnp.dot(oh, win[k % 2], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.DEFAULT)
-        idx = jnp.minimum(lane[:, None] + lane_iota, 127)
-        g = jnp.take_along_axis(g8, idx, axis=1)
-        a_scr[:, k * Cin:(k + 1) * Cin] = g[:, :Cin].astype(jnp.bfloat16)
+    @pl.when(act == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    y = jnp.dot(a_scr[...], w_ref[...], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)  # [BLK, Cout]
-    yb = y.astype(jnp.bfloat16)
-    if Pout == 1:
-        out_ref[...] = yb
-    else:
-        # repack: P_out static one-hot row-selects + lane concat
-        rows = jax.lax.broadcasted_iota(jnp.int32, (BLKPo, BLK), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (BLKPo, BLK), 0)
-        pieces = []
-        for p in range(Pout):
-            S = (rows == sub * Pout + p).astype(jnp.bfloat16)
-            pieces.append(
-                jnp.dot(S, yb, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
-                .astype(jnp.bfloat16))
-        out_ref[...] = jnp.concatenate(pieces, axis=1)
+    @pl.when(act > 0)
+    def _():
+        dma(0, 0).start()
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
+        KC = K * Cin
+        if a_scr.shape[1] > KC:
+            # zero the padded tail once: the final matmul reads it
+            # (padded weight rows are zero, but VMEM scratch can hold
+            # NaNs)
+            a_scr[:, KC:] = jnp.zeros((BLK, a_scr.shape[1] - KC),
+                                      jnp.bfloat16)
+
+        for g in range(G):
+            if g + 1 < G:
+                dma(g + 1, (g + 1) % 2).start()
+            # per-dz one-hots stacked by 2D sublane concat (Mosaic
+            # rejects 1D vector concat): one one-hot matmul + one
+            # lane-align per (dx, dy) window group
+            ohs, idxs = [], []
+            for dz in range(kz):
+                v = sel_ref[0, :, g * kz + dz]  # [BLK] int32
+                relp = v // 256 - 1
+                lane = v % 256
+                ohs.append((rows_iota == relp[:, None]).astype(jnp.bfloat16))
+                idxs.append(jnp.minimum(lane[:, None] + lane_iota, 127))
+            oh = ohs[0] if kz == 1 else jnp.concatenate(ohs, axis=0)
+            idx = idxs[0] if kz == 1 else jnp.concatenate(idxs, axis=0)
+            dma(g, g % 2).wait()
+            g8 = jnp.dot(oh, win[g % 2], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT)
+            gg = jnp.take_along_axis(g8, idx, axis=1)
+            for dz in range(kz):
+                k = g * kz + dz
+                a_scr[:, k * Cin:(k + 1) * Cin] = (
+                    gg[dz * BLK:(dz + 1) * BLK, :Cin].astype(jnp.bfloat16))
+
+        y = jnp.dot(a_scr[...], w_ref[...], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)  # [BLK, Cout]
+        yb = y.astype(jnp.bfloat16)
+        if Pout == 1:
+            out_ref[...] = yb
+        else:
+            # repack: P_out static one-hot row-selects + lane concat
+            rows = jax.lax.broadcasted_iota(jnp.int32, (BLKPo, BLK), 1)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (BLKPo, BLK), 0)
+            pieces = []
+            for p in range(Pout):
+                S = (rows == sub * Pout + p).astype(jnp.bfloat16)
+                pieces.append(
+                    jnp.dot(S, yb, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                    .astype(jnp.bfloat16))
+            out_ref[...] = jnp.concatenate(pieces, axis=1)
 
 
 def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
                          Cout: int, cap_out: int, slack: int = SLACK,
-                         blk: int = BLK, interpret: bool = False):
+                         blk: int = BLK, kz: int = 1,
+                         interpret: bool = False):
     """feats_packed [capP, 128] bf16; weight [K, Cin, Cout] -> packed
     output [cap_out/P_out, 128] bf16 (cap_out = un-padded output site
     count, a static int since jit flattens NamedTuple leaves). Drop-in
-    accelerator for subm_gather_gemm (same contract via pack/unpack)."""
+    accelerator for subm_gather_gemm (same contract via pack/unpack).
+    ``kz`` must match the builder's offsets-per-window grouping."""
     K, Cin, Cout_w = weight.shape
     assert Cout_w == Cout
     P = pack_factor(Cin)
@@ -234,7 +276,7 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
     )
 
     kern = functools.partial(_kernel, K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
-                             Pout=Pout, blk=blk)
+                             Pout=Pout, blk=blk, kz=kz)
 
     out = pl.pallas_call(
         kern,
@@ -249,7 +291,7 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
 
 
 def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
-               K, Cin, Cout, WP, P, Pout, blk):
+               K, Cin, Cout, WP, P, Pout, blk, kz=1):
     """Weight-gradient kernel: same windowed gather as _kernel to build
     A [BLK, K*Cin], then accumulate dW += A^T @ dout_blk across blocks
     (the transposed GEMM of spconv's indiceConvBackward filters-grad,
@@ -257,67 +299,79 @@ def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
     b = pl.program_id(0)
     BLK = blk
     BLKPo = BLK // Pout
+    G = K // kz
 
-    def dma(k, slot):
-        start = pl.multiple_of(s8_ref[b, k], 8)
+    def dma(g, slot):
+        start = pl.multiple_of(s8_ref[b, g], 8)
         return pltpu.make_async_copy(
             fp_hbm.at[pl.ds(start, WP)], win.at[slot], sems.at[slot]
         )
 
-    dma(0, 0).start()
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
-    KC = K * Cin
-    if a_scr.shape[1] > KC:
-        a_scr[:, KC:] = jnp.zeros((BLK, a_scr.shape[1] - KC), jnp.bfloat16)
-
-    for k in range(K):
-        if k + 1 < K:
-            dma(k + 1, (k + 1) % 2).start()
-        v = sel_ref[0, :, k]
-        relp = v // 256 - 1
-        lane = v % 256
-        oh = (rows_iota == relp[:, None]).astype(jnp.bfloat16)
-        dma(k, k % 2).wait()
-        g8 = jnp.dot(oh, win[k % 2], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.DEFAULT)
-        idx = jnp.minimum(lane[:, None] + lane_iota, 127)
-        g = jnp.take_along_axis(g8, idx, axis=1)
-        a_scr[:, k * Cin:(k + 1) * Cin] = g[:, :Cin].astype(jnp.bfloat16)
-
-    # unpack dout [BLKPo, 128] -> [BLK, Cout] with static one-hot selects
-    dp = dout_ref[...]
-    if Pout == 1:
-        dmat = dp
-    else:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLKPo), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLKPo), 1)
-        acc = None
-        for p in range(Pout):
-            S = (rows == cols * Pout + p).astype(jnp.bfloat16)
-            piece = dp[:, p * Cout:(p + 1) * Cout]
-            c = jnp.dot(S, piece, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
-            acc = c if acc is None else acc + c
-        dmat = acc.astype(jnp.bfloat16)
-
-    dwb = jax.lax.dot_general(
-        a_scr[...], dmat, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)  # [KCpad, Cout]
+    act = s8_ref[b, G]
 
     @pl.when(b == 0)
     def _():
-        dw_ref[...] = dwb
+        dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    @pl.when(b > 0)
+    @pl.when(act > 0)
     def _():
+        dma(0, 0).start()
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
+        KC = K * Cin
+        if a_scr.shape[1] > KC:
+            a_scr[:, KC:] = jnp.zeros((BLK, a_scr.shape[1] - KC), jnp.bfloat16)
+
+        for g in range(G):
+            if g + 1 < G:
+                dma(g + 1, (g + 1) % 2).start()
+            # per-dz one-hots stacked by 2D sublane concat (Mosaic rejects
+            # 1D vector concat): one matmul + one lane-align per group
+            ohs, idxs = [], []
+            for dz in range(kz):
+                v = sel_ref[0, :, g * kz + dz]  # [BLK] int32
+                relp = v // 256 - 1
+                lane = v % 256
+                ohs.append((rows_iota == relp[:, None]).astype(jnp.bfloat16))
+                idxs.append(jnp.minimum(lane[:, None] + lane_iota, 127))
+            oh = ohs[0] if kz == 1 else jnp.concatenate(ohs, axis=0)
+            idx = idxs[0] if kz == 1 else jnp.concatenate(idxs, axis=0)
+            dma(g, g % 2).wait()
+            g8 = jnp.dot(oh, win[g % 2], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT)
+            gg = jnp.take_along_axis(g8, idx, axis=1)
+            for dz in range(kz):
+                k = g * kz + dz
+                a_scr[:, k * Cin:(k + 1) * Cin] = (
+                    gg[dz * BLK:(dz + 1) * BLK, :Cin].astype(jnp.bfloat16))
+
+        # unpack dout [BLKPo, 128] -> [BLK, Cout] with static one-hot
+        # selects
+        dp = dout_ref[...]
+        if Pout == 1:
+            dmat = dp
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLKPo), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLKPo), 1)
+            acc = None
+            for p in range(Pout):
+                S = (rows == cols * Pout + p).astype(jnp.bfloat16)
+                piece = dp[:, p * Cout:(p + 1) * Cout]
+                c = jnp.dot(S, piece, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                acc = c if acc is None else acc + c
+            dmat = acc.astype(jnp.bfloat16)
+
+        dwb = jax.lax.dot_general(
+            a_scr[...], dmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)  # [KCpad, Cout]
         dw_ref[...] += dwb
 
 
 def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
                        K: int, Cin: int, Cout: int, slack: int = SLACK,
-                       blk: int = BLK):
+                       blk: int = BLK, kz: int = 1):
     """Weight gradient of windowed_gather_gemm: feats_packed
     [capP_in, 128] bf16, dout_packed [cap_out/P_out, 128] bf16 ->
     dW [K, Cin, Cout] f32."""
@@ -360,7 +414,7 @@ def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
     )
 
     kern = functools.partial(_kernel_dw, K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
-                             Pout=Pout, blk=blk)
+                             Pout=Pout, blk=blk, kz=kz)
     dw = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -372,10 +426,11 @@ def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
     return dw[:KC].reshape(K, Cin, Cout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def windowed_conv_ad(feats_packed, weight, wrb, wrb_bwd,
                      Cout: int, cap_out: int, cap_in: int,
-                     slack: int, slack_bwd: int, mirror: bool):
+                     slack: int, slack_bwd: int, mirror: bool,
+                     kz: int = 1):
     """Differentiable windowed conv (training path of the windowed
     engine; reference trains through spconv's indiceConvBackward,
     spconv_ops.h:364+).
@@ -391,31 +446,32 @@ def windowed_conv_ad(feats_packed, weight, wrb, wrb_bwd,
     exact for the computed forward.
     """
     return windowed_gather_gemm(feats_packed, wrb, weight, Cout, cap_out,
-                                slack=slack)
+                                slack=slack, kz=kz)
 
 
 def _wc_fwd(feats_packed, weight, wrb, wrb_bwd, Cout, cap_out, cap_in,
-            slack, slack_bwd, mirror):
+            slack, slack_bwd, mirror, kz=1):
     out = windowed_gather_gemm(feats_packed, wrb, weight, Cout, cap_out,
-                               slack=slack)
+                               slack=slack, kz=kz)
     return out, (feats_packed, weight, wrb, wrb_bwd)
 
 
-def _wc_bwd(Cout, cap_out, cap_in, slack, slack_bwd, mirror, res, dout):
+def _wc_bwd(Cout, cap_out, cap_in, slack, slack_bwd, mirror, kz, res, dout):
     feats_packed, weight, wrb, wrb_bwd = res
     K, Cin, _ = weight.shape
     dout = dout.astype(jnp.bfloat16)
 
     dw = windowed_gather_dw(feats_packed, wrb, dout, K, Cin, Cout,
-                            slack=slack).astype(weight.dtype)
+                            slack=slack, kz=kz).astype(weight.dtype)
     if mirror:
         assert Cin == Cout, "mirror backward requires Cin == Cout"
         wt = weight[::-1].transpose(0, 2, 1).astype(jnp.bfloat16)
-        dx = windowed_gather_gemm(dout, wrb, wt, Cin, cap_in, slack=slack)
+        dx = windowed_gather_gemm(dout, wrb, wt, Cin, cap_in, slack=slack,
+                                  kz=kz)
     else:
         wt = weight.transpose(0, 2, 1).astype(jnp.bfloat16)
         dx = windowed_gather_gemm(dout, wrb_bwd, wt, Cin, cap_in,
-                                  slack=slack_bwd)
+                                  slack=slack_bwd, kz=kz)
     return dx.astype(feats_packed.dtype), dw, None, None
 
 
