@@ -506,8 +506,9 @@ class SparseEncoder(nn.Module):
 
         tables = {}  # per-stage column tables, shared across rulebooks
 
-        def subm_wrb(ids_, g, C):
-            tbl = jax.vmap(lambda i: sp.build_column_table(i, g))(ids_)
+        def subm_wrb(ids_, g, C, tbl=None):
+            if tbl is None:
+                tbl = jax.vmap(lambda i: sp.build_column_table(i, g))(ids_)
             tables["cur"] = tbl
             nbr = jax.vmap(
                 lambda i, t: sp.build_subm_rulebook(i, g, 3, table=t)
@@ -610,9 +611,19 @@ class SparseEncoder(nn.Module):
                         cap_out = max(1, int(cap * self.site_cap_multiplier))
                     out_grid = sp.conv_out_shape(grid, 3, 2, padding)
                     g_in = grid
-                    out_ids, out_mask = jax.vmap(
-                        lambda i_: sp.downsample_sites(i_, g_in, 3, 2, padding, cap_out)
-                    )(ids)
+                    if sp.downsample_supported(g_in, 3, 2, padding):
+                        # column-bitmask fold: no sort, and the output
+                        # stage's column table comes out for free
+                        out_ids, out_mask, out_tbl = jax.vmap(
+                            lambda t: sp.downsample_sites_bitfold(
+                                t, g_in, 3, 2, padding, cap_out)
+                        )(tables["cur"])
+                    else:
+                        out_ids, out_mask = jax.vmap(
+                            lambda i_: sp.downsample_sites(
+                                i_, g_in, 3, 2, padding, cap_out)
+                        )(ids)
+                        out_tbl = None
                     cnbr = jax.vmap(
                         lambda oi, ii, t: sp.build_conv_rulebook(
                             ii, oi, g_in, out_grid, 3, 2, padding, table=t)
@@ -644,7 +655,7 @@ class SparseEncoder(nn.Module):
                     ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
                     packed = bn(f"{name}_bn", packed, mask, out_ch)
                     packed = nn.relu(packed)
-                    wrbs = subm_wrb(ids, grid, out_ch)
+                    wrbs = subm_wrb(ids, grid, out_ch, tbl=out_tbl)
                     n_down += 1
                 elif self.block_type == "basicblock" and dense_mode:
                     identity = feats
@@ -693,9 +704,16 @@ class SparseEncoder(nn.Module):
 
         out_grid = sp.conv_out_shape(grid, k_out, s_out, p_out)
         g_fin = grid
-        out_ids, out_mask = jax.vmap(
-            lambda i_: sp.downsample_sites(i_, g_fin, k_out, s_out, p_out, cap)
-        )(ids)
+        if sp.downsample_supported(g_fin, k_out, s_out, p_out):
+            out_ids, out_mask, _ = jax.vmap(
+                lambda t: sp.downsample_sites_bitfold(
+                    t, g_fin, k_out, s_out, p_out, cap)
+            )(tables["cur"])
+        else:
+            out_ids, out_mask = jax.vmap(
+                lambda i_: sp.downsample_sites(i_, g_fin, k_out, s_out, p_out,
+                                               cap)
+            )(ids)
         cnbr = jax.vmap(
             lambda oi, ii, t: sp.build_conv_rulebook(
                 ii, oi, g_fin, out_grid, k_out, s_out, p_out, table=t)

@@ -245,3 +245,41 @@ def test_dense_path_matches_sparse_path():
     # dense convs reassociate accumulation; differences are fp noise
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
                                rtol=1e-2, atol=3e-3)
+
+
+def test_downsample_bitfold_matches_sort_path():
+    """Column-bitmask OR-fold downsample == candidate-sort downsample
+    (ids, mask, and the derived output ColumnTable) across the conv
+    geometries the encoder uses."""
+    rng = np.random.RandomState(7)
+    cases = [
+        (sp.SparseGrid(32, 32, 41), 3, 2, 1, 2000, 4000),
+        (sp.SparseGrid(16, 16, 21), 3, 2, 1, 800, 2000),
+        (sp.SparseGrid(48, 48, 11), 3, 2, 1, 3000, 8000),
+        (sp.SparseGrid(12, 12, 6), (1, 1, 3), (1, 1, 2), 0, 400, 900),
+        (sp.SparseGrid(8, 8, 41), 3, 2, 1, 5, 64),        # very sparse
+        (sp.SparseGrid(6, 6, 8), 3, 2, 1, 6 * 6 * 8, 6 * 6 * 8),  # dense
+        (sp.SparseGrid(32, 32, 41), 3, 2, 1, 4000, 512),  # cap overflow
+        (sp.SparseGrid(16, 16, 21), 3, 2, 1, 1500, 100),  # heavy overflow
+    ]
+    for grid, k, s, p, nsites, cap_out in cases:
+        assert sp.downsample_supported(grid, k, s, p)
+        cap = max(nsites, 8)
+        ids0 = np.unique(rng.choice(grid.size, nsites)).astype(np.int32)
+        ids = np.full(cap, grid.size, np.int32)
+        ids[:len(ids0)] = ids0
+        ids_j = jnp.asarray(ids)
+        want_ids, want_mask = jax.jit(
+            lambda i: sp.downsample_sites(i, grid, k, s, p, cap_out))(ids_j)
+        tbl = sp.build_column_table(ids_j, grid)
+        got_ids, got_mask, got_tbl = jax.jit(
+            lambda t: sp.downsample_sites_bitfold(
+                t, grid, k, s, p, cap_out))(tbl)
+        np.testing.assert_array_equal(np.asarray(got_ids),
+                                      np.asarray(want_ids))
+        np.testing.assert_array_equal(np.asarray(got_mask),
+                                      np.asarray(want_mask))
+        og = sp.conv_out_shape(grid, k, s, p)
+        ref_tbl = sp.build_column_table(got_ids, og)
+        np.testing.assert_array_equal(np.asarray(got_tbl.packed),
+                                      np.asarray(ref_tbl.packed))

@@ -39,23 +39,30 @@ def main():
     slack = 2
 
     def meta_chain(ids):
-        """All rulebook/meta work of the windowed forward, no convs."""
+        """All rulebook/meta work of the windowed forward, no convs —
+        mirrors _forward_windowed: bitfold downsample feeding the next
+        stage's column table directly."""
         chk = jnp.float32(0)
         grid = grid0
         cap = cap0
+        tbl = None
         for s, C in ((0, 16), (1, 32), (2, 64), (3, 128)):
-            tbl = sp.build_column_table(ids, grid)
+            if tbl is None:
+                tbl = sp.build_column_table(ids, grid)
             nbr = sp.build_subm_rulebook(ids, grid, 3, table=tbl)
-            wrb = wg.build_windowed_rulebook(nbr, C, slack=slack)
+            wrb = wg.build_windowed_rulebook(nbr, C, slack=slack, kz=3)
             chk += jnp.sum(wrb.s8) + jnp.sum(wrb.sel[:, :, 0]).astype(jnp.float32)
             if s < 3:
                 og = sp.conv_out_shape(grid, 3, 2, 1)
                 cap_out = site_caps[s]
-                out_ids, out_mask = sp.downsample_sites(ids, grid, 3, 2, 1, cap_out)
-                cnbr = sp.build_conv_rulebook(ids, out_ids, grid, og, 3, 2, 1)
-                swrb = wg.build_windowed_rulebook(cnbr, C, cap_in=cap, slack=4 * slack)
+                out_ids, out_mask, out_tbl = sp.downsample_sites_bitfold(
+                    tbl, grid, 3, 2, 1, cap_out)
+                cnbr = sp.build_conv_rulebook(ids, out_ids, grid, og, 3, 2, 1,
+                                              table=tbl)
+                swrb = wg.build_windowed_rulebook(cnbr, C, cap_in=cap,
+                                                  slack=4 * slack, kz=3)
                 chk += jnp.sum(swrb.s8).astype(jnp.float32)
-                ids, grid, cap = out_ids, og, cap_out
+                ids, grid, cap, tbl = out_ids, og, cap_out, out_tbl
         # conv_out
         og = sp.conv_out_shape(grid, (1, 1, 3), (1, 1, 2), 0)
         out_ids, _ = sp.downsample_sites(ids, grid, (1, 1, 3), (1, 1, 2), 0, cap)
