@@ -47,6 +47,8 @@ __all__ = [
     "downsample_sites_bitfold",
     "downsample_supported",
     "build_conv_rulebook",
+    "sparse_inverse_conv_gemm",
+    "sparse_maxpool",
     "to_dense",
     "kernel_offsets",
 ]
@@ -303,6 +305,37 @@ def subm_gather_gemm(feats, nbr, weight):
         preferred_element_type=jnp.float32,
     )
     return out.astype(feats.dtype)
+
+
+def sparse_inverse_conv_gemm(feats, nbr_t, weight):
+    """Inverse ("deconv") sparse conv: restore the site set of a paired
+    strided conv (reference SparseInverseConv3d, ops/spconv/conv.py:
+    181-223 + indice_inverse_conv): output sites are the paired conv's
+    *input* sites, and each (input i, output o, offset k) pair of the
+    forward rulebook contributes W_k @ feats[o] to out[i].
+
+    nbr_t [cap_prev_in, K] comes from build_conv_transpose_rulebook
+    (same pairs, same k — the reference replays indice_pairs with the
+    gather/scatter roles swapped, not with mirrored offsets). The
+    computation is then exactly the gather-GEMM form.
+    """
+    return subm_gather_gemm(feats, nbr_t, weight)
+
+
+def sparse_maxpool(feats, nbr):
+    """indice_maxpool (reference ops/spconv/pool.py:21 +
+    functional/indice_maxpool): out[o] = max over present neighbors
+    feats[i]; misses are ignored; rows with no contributor -> 0.
+    feats [cap_in, C], nbr [cap_out, K] (-1 on miss) -> [cap_out, C].
+    """
+    K = nbr.shape[1]
+    idx = jnp.maximum(nbr, 0).reshape(-1)
+    g = jnp.take(feats, idx, axis=0)  # [cap_out*K, C]
+    neg = jnp.asarray(-jnp.inf, feats.dtype)
+    g = jnp.where((nbr.reshape(-1) >= 0)[:, None], g, neg)
+    out = jnp.max(g.reshape(nbr.shape[0], K, -1), axis=1)
+    any_hit = jnp.any(nbr >= 0, axis=1)
+    return jnp.where(any_hit[:, None], out, 0).astype(feats.dtype)
 
 
 class WindowRulebook(NamedTuple):

@@ -58,6 +58,15 @@ BLK = 512  # output sites per grid step
 SLACK = 4  # window size in units of the block's packed rows
 
 
+def _ring_slots(G: int, WP: int, budget_bytes: int = 6 << 20) -> int:
+    """Window-DMA ring depth: as many slots as the scoped-VMEM budget
+    allows (each slot is [WP, 128] bf16), min 2, capped at G + 1 (all
+    windows in flight). Deep rings hide the per-(block, group) DMA
+    latency the loop is otherwise bound by."""
+    slot_bytes = WP * 128 * 2
+    return max(2, min(G + 1, budget_bytes // slot_bytes))
+
+
 def pack_factor(C: int) -> int:
     assert 128 % C == 0, f"channel width {C} must divide 128"
     return 128 // C
@@ -153,7 +162,7 @@ def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
 
 
 def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
-            K, Cin, Cout, WP, P, Pout, blk, kz=1):
+            K, Cin, Cout, WP, P, Pout, blk, kz=1, ns=2):
     b = pl.program_id(0)
     BLK = blk
     BLKPo = BLK // Pout
@@ -175,7 +184,13 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
 
     @pl.when(act > 0)
     def _():
-        dma(0, 0).start()
+        # deep DMA ring (ns slots, VMEM-budgeted by the wrapper): the
+        # loop is DMA-latency-bound, not bandwidth-bound — with depth-1
+        # prefetch each (block, group) step stalled ~2 us on its wait
+        # (measured: a no-compute variant still cost 4.8 ms/conv).
+        # Reissue keeps a one-iteration gap from the slot's last read.
+        for t in range(min(ns - 1, G)):
+            dma(t, t % ns).start()
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
         KC = K * Cin
@@ -187,8 +202,8 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
                                       jnp.bfloat16)
 
         for g in range(G):
-            if g + 1 < G:
-                dma(g + 1, (g + 1) % 2).start()
+            if g + ns - 1 < G:
+                dma(g + ns - 1, (g + ns - 1) % ns).start()
             # per-dz one-hots stacked by 2D sublane concat (Mosaic
             # rejects 1D vector concat): one one-hot matmul + one
             # lane-align per (dx, dy) window group
@@ -201,8 +216,8 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
                 idxs.append(jnp.minimum(lane[:, None] + lane_iota, 127))
             oh = ohs[0] if kz == 1 else jnp.concatenate(ohs, axis=0)
             idx = idxs[0] if kz == 1 else jnp.concatenate(idxs, axis=0)
-            dma(g, g % 2).wait()
-            g8 = jnp.dot(oh, win[g % 2], preferred_element_type=jnp.float32,
+            dma(g, g % ns).wait()
+            g8 = jnp.dot(oh, win[g % ns], preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.DEFAULT)
             gg = jnp.take_along_axis(g8, idx, axis=1)
             for dz in range(kz):
@@ -253,6 +268,7 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
 
     KC = K * Cin
     KCpad = (KC + 127) // 128 * 128
+    ns = _ring_slots(K // kz, WP)
     wmat = weight.reshape(KC, Cout).astype(jnp.bfloat16)
     wmat = jnp.pad(wmat, ((0, KCpad - KC), (0, 0)))
 
@@ -269,14 +285,14 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
         out_specs=pl.BlockSpec((BLKPo, 128), lambda b, m: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, WP, 128), jnp.bfloat16),
+            pltpu.VMEM((ns, WP, 128), jnp.bfloat16),
             pltpu.VMEM((blk, KCpad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((ns,)),
         ],
     )
 
     kern = functools.partial(_kernel, K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
-                             Pout=Pout, blk=blk, kz=kz)
+                             Pout=Pout, blk=blk, kz=kz, ns=ns)
 
     out = pl.pallas_call(
         kern,
@@ -291,7 +307,7 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
 
 
 def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
-               K, Cin, Cout, WP, P, Pout, blk, kz=1):
+               K, Cin, Cout, WP, P, Pout, blk, kz=1, ns=2):
     """Weight-gradient kernel: same windowed gather as _kernel to build
     A [BLK, K*Cin], then accumulate dW += A^T @ dout_blk across blocks
     (the transposed GEMM of spconv's indiceConvBackward filters-grad,
@@ -315,7 +331,8 @@ def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
 
     @pl.when(act > 0)
     def _():
-        dma(0, 0).start()
+        for t in range(min(ns - 1, G)):
+            dma(t, t % ns).start()
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
         KC = K * Cin
@@ -323,8 +340,8 @@ def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
             a_scr[:, KC:] = jnp.zeros((BLK, a_scr.shape[1] - KC), jnp.bfloat16)
 
         for g in range(G):
-            if g + 1 < G:
-                dma(g + 1, (g + 1) % 2).start()
+            if g + ns - 1 < G:
+                dma(g + ns - 1, (g + ns - 1) % ns).start()
             # per-dz one-hots stacked by 2D sublane concat (Mosaic rejects
             # 1D vector concat): one matmul + one lane-align per group
             ohs, idxs = [], []
@@ -336,8 +353,8 @@ def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
                 idxs.append(jnp.minimum(lane[:, None] + lane_iota, 127))
             oh = ohs[0] if kz == 1 else jnp.concatenate(ohs, axis=0)
             idx = idxs[0] if kz == 1 else jnp.concatenate(idxs, axis=0)
-            dma(g, g % 2).wait()
-            g8 = jnp.dot(oh, win[g % 2], preferred_element_type=jnp.float32,
+            dma(g, g % ns).wait()
+            g8 = jnp.dot(oh, win[g % ns], preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.DEFAULT)
             gg = jnp.take_along_axis(g8, idx, axis=1)
             for dz in range(kz):
@@ -393,6 +410,8 @@ def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
 
     KC = K * Cin
     KCpad = (KC + 127) // 128 * 128
+    # dW holds [KCpad, Cout] f32 in VMEM too — tighter window budget
+    ns = _ring_slots(K // kz, WP, budget_bytes=4 << 20)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -407,14 +426,14 @@ def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
         out_specs=pl.BlockSpec((KCpad, Cout), lambda b, m: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, WP, 128), jnp.bfloat16),
+            pltpu.VMEM((ns, WP, 128), jnp.bfloat16),
             pltpu.VMEM((blk, KCpad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((ns,)),
         ],
     )
 
     kern = functools.partial(_kernel_dw, K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
-                             Pout=Pout, blk=blk, kz=kz)
+                             Pout=Pout, blk=blk, kz=kz, ns=ns)
     dw = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -283,3 +283,67 @@ def test_downsample_bitfold_matches_sort_path():
         ref_tbl = sp.build_column_table(got_ids, og)
         np.testing.assert_array_equal(np.asarray(got_tbl.packed),
                                       np.asarray(ref_tbl.packed))
+
+
+def test_sparse_inverse_conv_matches_pair_oracle():
+    """Inverse conv (reference ops/spconv/conv.py:181-223): output sites
+    are the paired strided conv's input sites; each forward pair
+    (i, o, k) contributes W_k @ f[o] to out[i]. Oracle: explicit loop
+    over the transpose rulebook pairs."""
+    rng = np.random.RandomState(11)
+    grid = sp.SparseGrid(8, 8, 6)
+    k, s, p = 3, 2, 1
+    og = sp.conv_out_shape(grid, k, s, p)
+    cap_in, cap_out = 64, 64
+    ids0 = np.unique(rng.choice(grid.size, 60)).astype(np.int32)
+    in_ids = np.full(cap_in, grid.size, np.int32)
+    in_ids[:len(ids0)] = ids0
+    in_ids = jnp.asarray(in_ids)
+    out_ids, out_mask = sp.downsample_sites(in_ids, grid, k, s, p, cap_out)
+
+    Cin, Cout = 4, 5
+    feats_out = rng.randn(cap_out, Cin).astype(np.float32)
+    feats_out[~np.asarray(out_mask)] = 0.0
+    w = rng.randn(27, Cin, Cout).astype(np.float32) * 0.1
+
+    nbr_t = sp.build_conv_transpose_rulebook(in_ids, out_ids, grid, og, k, s, p)
+    got = np.asarray(sp.sparse_inverse_conv_gemm(
+        jnp.asarray(feats_out), nbr_t, jnp.asarray(w)))
+
+    nbr_np = np.asarray(nbr_t)
+    want = np.zeros((cap_in, Cout), np.float32)
+    for i in range(cap_in):
+        for kk in range(27):
+            o = nbr_np[i, kk]
+            if o >= 0:
+                want[i] += feats_out[o] @ w[kk]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_maxpool_matches_oracle():
+    """indice_maxpool (reference ops/spconv/pool.py:21): max over
+    present neighbor features per output site, misses ignored."""
+    rng = np.random.RandomState(12)
+    grid = sp.SparseGrid(8, 8, 6)
+    k, s, p = 3, 2, 1
+    og = sp.conv_out_shape(grid, k, s, p)
+    cap_in, cap_out = 64, 64
+    ids0 = np.unique(rng.choice(grid.size, 60)).astype(np.int32)
+    in_ids = np.full(cap_in, grid.size, np.int32)
+    in_ids[:len(ids0)] = ids0
+    in_ids = jnp.asarray(in_ids)
+    out_ids, out_mask = sp.downsample_sites(in_ids, grid, k, s, p, cap_out)
+    nbr = sp.build_conv_rulebook(in_ids, out_ids, grid, og, k, s, p)
+
+    feats = rng.randn(cap_in, 7).astype(np.float32)
+    got = np.asarray(sp.sparse_maxpool(jnp.asarray(feats), nbr))
+
+    nbr_np = np.asarray(nbr)
+    want = np.zeros((cap_out, 7), np.float32)
+    for o in range(cap_out):
+        rows = nbr_np[o][nbr_np[o] >= 0]
+        if len(rows):
+            want[o] = feats[rows].max(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # active output rows all have at least one contributor
+    assert np.asarray(out_mask).sum() > 0
