@@ -130,9 +130,17 @@ class ColumnTable(NamedTuple):
 
 
 def build_column_table(ids, grid: SparseGrid) -> ColumnTable:
-    """ids: [cap] sorted site ids (sentinel = grid.size for padding)."""
+    """ids: [cap] sorted site ids (sentinel = grid.size for padding).
+
+    Exploits sortedness end to end: per-column (lo, hi) masks come from
+    a segmented OR scan over the site array (runs = columns), and the
+    start row of a column is simply the row index of its first site —
+    so the only full-grid [X*Y] op is ONE scatter-set of run tails
+    (the previous scatter-add into X*Y segments + popcount + X*Y-wide
+    cumsum cost ~3-4 ms/stage at 1440^2 on this backend)."""
     assert grid.Z <= 64, "column bitmask lookup requires Z <= 64"
     XY = grid.X * grid.Y
+    n = ids.shape[0]
     valid = ids < grid.size
     col = jnp.where(valid, ids // grid.Z, XY)
     z = jnp.where(valid, ids % grid.Z, 0)
@@ -140,21 +148,28 @@ def build_column_table(ids, grid: SparseGrid) -> ColumnTable:
     hi_bit = jnp.where(
         valid & (z >= 32), jnp.uint32(1) << jnp.maximum(z - 32, 0).astype(jnp.uint32), 0
     )
-    # per-column z bits are unique -> sum == bitwise or
-    lo = jax.ops.segment_sum(lo_bit, col, num_segments=XY + 1)[:XY].astype(jnp.uint32)
-    hi = jax.ops.segment_sum(hi_bit, col, num_segments=XY + 1)[:XY].astype(jnp.uint32)
-    counts = jax.lax.population_count(lo) + jax.lax.population_count(hi)
-    start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts.astype(jnp.int32))[:-1]]
-    )
-    packed = jnp.stack(
-        [
-            jax.lax.bitcast_convert_type(lo, jnp.int32),
-            jax.lax.bitcast_convert_type(hi, jnp.int32),
-            start,
-        ],
-        axis=-1,
-    )
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), col[1:] != col[:-1]])
+    rows = jnp.arange(n, dtype=jnp.int32)
+
+    def comb(a, b):
+        fa, lo_a, hi_a, st_a = a
+        fb, lo_b, hi_b, st_b = b
+        return (fa | fb,
+                jnp.where(fb, lo_b, lo_a | lo_b),
+                jnp.where(fb, hi_b, hi_a | hi_b),
+                jnp.where(fb, st_b, st_a))
+
+    _, lo_s, hi_s, st_s = jax.lax.associative_scan(
+        comb, (head, lo_bit, hi_bit, rows))
+    tail = jnp.concatenate([col[:-1] != col[1:], jnp.ones((1,), bool)])
+    tgt = jnp.where(tail & valid, col, XY)
+    vals = jnp.stack(
+        [jax.lax.bitcast_convert_type(lo_s, jnp.int32),
+         jax.lax.bitcast_convert_type(hi_s, jnp.int32),
+         st_s], axis=-1)
+    packed = (jnp.zeros((XY + 1, 3), jnp.int32)
+              .at[tgt].set(vals, mode="drop", unique_indices=True)[:XY])
     return ColumnTable(packed)
 
 
@@ -183,7 +198,13 @@ def build_neighborhood_table(table: ColumnTable, grid: SparseGrid):
     parts = []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            parts.append(jnp.roll(img, shift=(-dx, -dy), axis=(0, 1)))
+            # static pad+slice, NOT jnp.roll: roll lowers to a while
+            # loop on this backend (~0.5 ms per roll at 1440^2); the
+            # wrapped border rows a roll would produce are discarded by
+            # the callers' coordinate-validity masks anyway, so zero
+            # fill is equivalent.
+            sh = _shift_zeros(_shift_zeros(img, dx, 0), dy, 1)
+            parts.append(sh)
     return jnp.concatenate(parts, axis=-1).reshape(grid.X * grid.Y, 27)
 
 
@@ -706,24 +727,41 @@ def downsample_sites_bitfold(table: ColumnTable, grid: SparseGrid,
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
 
     # truncation rule (same as sorted_unique): the smallest cap_out ids
-    # survive. Trim bits past the cap so the returned table stays exactly
-    # consistent with build_column_table(out_ids) even when overflowing.
-    keep = jnp.clip(cap_out - starts, 0, 32)
-    run = jnp.zeros_like(counts)
-    kept = jnp.zeros_like(bits)
-    for b in range(int(og.Z)):
-        bit = (bits >> b) & jnp.uint32(1)
-        take = (run < keep) & (bit == jnp.uint32(1))
-        kept = kept | jnp.where(take, jnp.uint32(1) << b, jnp.uint32(0))
-        run = run + bit.astype(run.dtype)
-    bits = kept
-    counts = jnp.minimum(counts, keep)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    # survive. Columns entirely below the cap keep their bits, columns
+    # entirely past it drop all bits, and AT MOST ONE column straddles
+    # cap_out — fix that single word with a scalar 32-step loop instead
+    # of sweeping the whole image og.Z times (the sweep was ~og.Z*5
+    # full-image passes, the dominant cost of this function). Starts
+    # need no second cumsum: they are unchanged up to the straddler and
+    # saturate at cap_out after it.
+    full = (starts + counts) <= cap_out
+    strad = (~full) & (starts < cap_out)
+    strad_any = jnp.any(strad)
+    sidx = jnp.argmax(strad)
+    word = bits[sidx]
+    keep_n = jnp.clip(cap_out - starts[sidx], 0, 32)
 
+    def _body(b, acc):
+        kept, run = acc
+        bit = (word >> jnp.uint32(b)) & jnp.uint32(1)
+        take = (run < keep_n) & (bit == jnp.uint32(1))
+        kept = jnp.where(take, kept | (jnp.uint32(1) << jnp.uint32(b)), kept)
+        return kept, run + bit.astype(jnp.int32)
+
+    kept_word, _ = jax.lax.fori_loop(
+        0, 32, _body, (jnp.uint32(0), jnp.int32(0)))
+    bits = jnp.where(full, bits, jnp.uint32(0))
+    bits = bits.at[sidx].set(jnp.where(strad_any, kept_word, bits[sidx]))
+    starts = jnp.minimum(starts, cap_out)
+    counts = jnp.minimum(counts, jnp.clip(cap_out - starts, 0, 32))
+
+    # empty columns carry start=0 (matching build_column_table's
+    # tail-scatter form, which never writes them; starts of empty
+    # columns are presence-masked at every lookup)
     out_table = ColumnTable(jnp.stack(
         [jax.lax.bitcast_convert_type(bits, jnp.int32),
-         jnp.zeros_like(starts), starts], axis=-1))
+         jnp.zeros_like(starts),
+         jnp.where(counts > 0, starts, 0)], axis=-1))
 
     # enumerate sorted out_ids: head-scatter column ids at their start
     # rows, cummax to fill, then extract each row's j-th set z bit
@@ -734,9 +772,14 @@ def downsample_sites_bitfold(table: ColumnTable, grid: SparseGrid,
             .at[pos].max(cols + 1, mode="drop")[:cap_out])
     colmap = jax.lax.cummax(head) - 1  # -1 before the first occupied col
     cm = jnp.maximum(colmap, 0)
-    b_r = jnp.take(bits, cm)
-    st_r = jnp.take(starts, cm)
-    ct_r = jnp.take(counts, cm)
+    # one fused row gather instead of three (gathers here are
+    # descriptor-bound at ~30-50M rows/s)
+    bsc = jnp.stack([jax.lax.bitcast_convert_type(bits, jnp.int32),
+                     starts, counts], axis=-1)
+    rows_g = jnp.take(bsc, cm, axis=0)
+    b_r = jax.lax.bitcast_convert_type(rows_g[:, 0], jnp.uint32)
+    st_r = rows_g[:, 1]
+    ct_r = rows_g[:, 2]
     j = jnp.arange(cap_out, dtype=jnp.int32) - st_r
     # z = j-th set bit of b_r: count prefixes with popcount <= j
     oz = int(og.Z)
