@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.coders import CenterPointBBoxCoder
+from ...ops.deform_conv import DeformConv2dPack
 from ...ops.gaussian import draw_heatmap_gaussians, gaussian_radius
 from ...ops.nms import circle_nms_mask, nms_bev_mask
 from ...registry import HEADS
@@ -62,6 +63,42 @@ class SeparateHead(nn.Module):
         return out
 
 
+class DCNSeparateHead(nn.Module):
+    """DCNSeparateHead (centerpoint.py:130-246): two DeformConv2dPack
+    feature adapters split the shared features into a classification
+    path (-> 3x3 ConvBNReLU + final heatmap conv, bias init -2.19) and
+    a regression path (-> plain SeparateHead without the heatmap
+    branch)."""
+
+    heads: Dict[str, Tuple[int, int]]
+    num_cls: int
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        cin = x.shape[-1]
+        center_feat = DeformConv2dPack(cin, 3, dtype=self.dtype,
+                                       name="feature_adapt_cls")(x)
+        reg_feat = DeformConv2dPack(cin, 3, dtype=self.dtype,
+                                    name="feature_adapt_reg")(x)
+        y = ConvBNAct(self.head_conv, 3, 1, 1, norm="BN", act="ReLU",
+                      dtype=self.dtype, name="cls_head0")(center_feat,
+                                                          training)
+        cls_score = nn.Conv(
+            self.num_cls, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+            bias_init=nn.initializers.constant(self.init_bias),
+            dtype=self.dtype, name="cls_head1")(y)
+        reg_heads = {k: v for k, v in self.heads.items() if k != "heatmap"}
+        ret = SeparateHead(reg_heads, head_conv=self.head_conv,
+                           final_kernel=self.final_kernel, dtype=self.dtype,
+                           name="task_head")(reg_feat, training)
+        ret["heatmap"] = cls_score
+        return ret
+
+
 @HEADS.register()
 class CenterHead(nn.Module):
     in_channels: int = 128
@@ -98,16 +135,20 @@ class CenterHead(nn.Module):
         x = ConvBNAct(self.share_conv_channel, 3, 1, 1, norm="BN", act="ReLU",
                       dtype=self.dtype, name="shared_conv")(feats, training)
         sep = dict(self.separate_head or {})
-        sep.pop("type", None)
+        sep_type = sep.pop("type", None)
+        sep_kw = {k: v for k, v in sep.items()
+                  if k in ("head_conv", "final_kernel", "init_bias")}
         outs = []
         for t, names in enumerate(self.tasks):
             heads = {k: tuple(v) for k, v in dict(self.common_heads or {}).items()}
             heads["heatmap"] = (len(names), self.num_heatmap_convs)
-            outs.append(
-                SeparateHead(heads, dtype=self.dtype, name=f"task{t}", **{
-                    k: v for k, v in sep.items() if k in ("head_conv", "final_kernel", "init_bias")
-                })(x, training)
-            )
+            if sep_type == "DCNSeparateHead":
+                outs.append(DCNSeparateHead(
+                    heads, num_cls=len(names), dtype=self.dtype,
+                    name=f"task{t}", **sep_kw)(x, training))
+            else:
+                outs.append(SeparateHead(heads, dtype=self.dtype,
+                                         name=f"task{t}", **sep_kw)(x, training))
         return outs
 
     # ------------------------------------------------------------------

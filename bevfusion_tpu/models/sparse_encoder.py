@@ -233,8 +233,10 @@ class _DenseConv3d(nn.Module):
             if sz == 1:
                 xs = jax.lax.slice_in_dim(xp, dz, dz + Zo, axis=1)
             else:
-                zidx = dz + sz * jnp.arange(Zo)
-                xs = jnp.take(xp, zidx, axis=1)
+                # native strided slice (jnp.take lowers to a gather and
+                # costs ~5 ms on the 360^2 strided conv input)
+                xs = jax.lax.slice_in_dim(
+                    xp, dz, dz + (Zo - 1) * sz + 1, stride=sz, axis=1)
             y = jax.lax.conv_general_dilated(
                 xs.reshape(B * Zo, X, Y, C).astype(self.dtype),
                 w3[:, :, dz].astype(self.dtype),
