@@ -798,9 +798,22 @@ def to_dense(feats, ids, mask, grid: SparseGrid):
     (SparseConvTensor.dense, ops/spconv/structure.py:49-56)."""
     C = feats.shape[-1]
     idx = jnp.where(mask, ids, grid.size)
-    dense = jnp.zeros((grid.size + 1, C), feats.dtype)
-    dense = dense.at[idx].set(jnp.where(mask[:, None], feats, 0.0))
-    return dense[:-1].reshape(grid.X, grid.Y, grid.Z, C)
+    # mode="drop": padding rows fall out of bounds — no +1 tail row and
+    # no post-slice (the slice materialized a full-grid copy)
+    dense = (jnp.zeros((grid.size, C), feats.dtype)
+             .at[idx].set(jnp.where(mask[:, None], feats, 0.0), mode="drop"))
+    return dense.reshape(grid.X, grid.Y, grid.Z, C)
+
+
+def occupancy_zmajor(ids, mask, grid: SparseGrid):
+    """Dense z-major [Z, X, Y] bool occupancy via a 1D scatter (no
+    lane-padded [, 1] channel arrays — a [N, 1] bf16 scatter pads its
+    minor dim 128x on this backend)."""
+    zid = (ids % grid.Z) * (grid.X * grid.Y) + ids // grid.Z
+    idx = jnp.where(mask, zid, grid.size)
+    occ = (jnp.zeros((grid.size,), jnp.uint8)
+           .at[idx].set(1, mode="drop"))
+    return occ.reshape(grid.Z, grid.X, grid.Y) > 0
 
 
 def to_dense_zmajor(feats, ids, mask, grid: SparseGrid):
@@ -809,6 +822,6 @@ def to_dense_zmajor(feats, ids, mask, grid: SparseGrid):
     C = feats.shape[-1]
     zid = (ids % grid.Z) * (grid.X * grid.Y) + ids // grid.Z
     idx = jnp.where(mask, zid, grid.size)
-    dense = jnp.zeros((grid.size + 1, C), feats.dtype)
-    dense = dense.at[idx].set(jnp.where(mask[:, None], feats, 0.0))
-    return dense[:-1].reshape(grid.Z, grid.X, grid.Y, C)
+    dense = (jnp.zeros((grid.size, C), feats.dtype)
+             .at[idx].set(jnp.where(mask[:, None], feats, 0.0), mode="drop"))
+    return dense.reshape(grid.Z, grid.X, grid.Y, C)

@@ -20,10 +20,13 @@ The kernel exploits this:
     selection one-hot in VMEM from the prefetched relative indices, and
     run the "gather" as ONE MXU matmul  oh[512, WP] @ win[WP, 128];
   - per-site lane alignment (which of the P packet slots a neighbor
-    occupies) is resolved with a per-lane dynamic gather
-    (take_along_axis on lanes, f32);
-  - the 27 gathered slices concatenate in VMEM into A [512, K*Cin] and
-    one MXU contraction A @ W[K*Cin, Cout] produces the conv output,
+    occupies) is NOT resolved in VMEM: a compare-mask zeroes every
+    packed slot except the neighbor's C channels, the full 128-lane
+    row stores aligned into A [512, K*128], and the final contraction
+    uses a P-replicated weight W2[k*128 + p*C + c] = W[k, c] so the
+    MXU reads the channels from whichever slot they occupy (no dynamic
+    lane gathers, no sub-128-lane stores anywhere);
+  - one MXU contraction A @ W2[K*128, Cout] produces the conv output,
     which is re-packed to [512/P_out, 128] with static one-hot matmuls.
 
 Misses (-1 rows) encode as one-hot rows of zeros — no masking pass.
@@ -193,37 +196,35 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
             dma(t, t % ns).start()
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
-        KC = K * Cin
-        if a_scr.shape[1] > KC:
-            # zero the padded tail once: the final matmul reads it
-            # (padded weight rows are zero, but VMEM scratch can hold
-            # NaNs)
-            a_scr[:, KC:] = jnp.zeros((BLK, a_scr.shape[1] - KC),
-                                      jnp.bfloat16)
 
         for g in range(G):
             if g + ns - 1 < G:
                 dma(g + ns - 1, (g + ns - 1) % ns).start()
             # per-dz one-hots stacked by 2D sublane concat (Mosaic
             # rejects 1D vector concat): one one-hot matmul + one
-            # lane-align per (dx, dy) window group
-            ohs, idxs = [], []
+            # slot-mask per (dx, dy) window group. No per-lane dynamic
+            # gather: the gathered window row keeps all P packed sites;
+            # a compare-mask zeroes every slot except the neighbor's C
+            # channels, the full 128-lane row is stored aligned, and
+            # the final GEMM's P-replicated weight (wrapper) reads the
+            # channels from whatever slot they sit in.
+            ohs, msks = [], []
             for dz in range(kz):
                 v = sel_ref[0, :, g * kz + dz]  # [BLK] int32
                 relp = v // 256 - 1
-                lane = v % 256
+                lane = (v % 256)[:, None]
                 ohs.append((rows_iota == relp[:, None]).astype(jnp.bfloat16))
-                idxs.append(jnp.minimum(lane[:, None] + lane_iota, 127))
+                msks.append(((lane_iota >= lane) &
+                             (lane_iota < lane + Cin)).astype(jnp.bfloat16))
             oh = ohs[0] if kz == 1 else jnp.concatenate(ohs, axis=0)
-            idx = idxs[0] if kz == 1 else jnp.concatenate(idxs, axis=0)
+            msk = msks[0] if kz == 1 else jnp.concatenate(msks, axis=0)
             dma(g, g % ns).wait()
             g8 = jnp.dot(oh, win[g % ns], preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.DEFAULT)
-            gg = jnp.take_along_axis(g8, idx, axis=1)
+            gm = g8.astype(jnp.bfloat16) * msk
             for dz in range(kz):
                 k = g * kz + dz
-                a_scr[:, k * Cin:(k + 1) * Cin] = (
-                    gg[dz * BLK:(dz + 1) * BLK, :Cin].astype(jnp.bfloat16))
+                a_scr[:, k * 128:(k + 1) * 128] = gm[dz * BLK:(dz + 1) * BLK]
 
         y = jnp.dot(a_scr[...], w_ref[...], preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)  # [BLK, Cout]
@@ -266,11 +267,14 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
         feats_packed = jnp.pad(
             feats_packed, ((0, WP - feats_packed.shape[0]), (0, 0)))
 
-    KC = K * Cin
-    KCpad = (KC + 127) // 128 * 128
+    # P-replicated weight: A holds each gathered neighbor's C channels
+    # at packed-slot offset p*Cin within its 128-lane group (other slots
+    # masked to zero in-kernel), so W2[k*128 + p*Cin + c, :] = W[k, c, :]
+    # for every p makes A @ W2 the exact conv contraction.
+    KL = K * 128
     ns = _ring_slots(K // kz, WP)
-    wmat = weight.reshape(KC, Cout).astype(jnp.bfloat16)
-    wmat = jnp.pad(wmat, ((0, KCpad - KC), (0, 0)))
+    wmat = jnp.tile(weight.astype(jnp.bfloat16)[:, None], (1, P, 1, 1))
+    wmat = wmat.reshape(KL, Cout)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -279,14 +283,14 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
             pl.BlockSpec((1, blk, wrb.sel.shape[2]), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((KCpad, Cout), lambda b, m: (0, 0),
+            pl.BlockSpec((KL, Cout), lambda b, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLKPo, 128), lambda b, m: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((ns, WP, 128), jnp.bfloat16),
-            pltpu.VMEM((blk, KCpad), jnp.bfloat16),
+            pltpu.VMEM((blk, KL), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((ns,)),
         ],
     )
@@ -335,32 +339,29 @@ def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
             dma(t, t % ns).start()
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
-        KC = K * Cin
-        if a_scr.shape[1] > KC:
-            a_scr[:, KC:] = jnp.zeros((BLK, a_scr.shape[1] - KC), jnp.bfloat16)
 
         for g in range(G):
             if g + ns - 1 < G:
                 dma(g + ns - 1, (g + ns - 1) % ns).start()
-            # per-dz one-hots stacked by 2D sublane concat (Mosaic rejects
-            # 1D vector concat): one matmul + one lane-align per group
-            ohs, idxs = [], []
+            # same slot-masked gather as _kernel (no per-lane dynamic
+            # gather); the wrapper folds the P-replicated dW back down
+            ohs, msks = [], []
             for dz in range(kz):
                 v = sel_ref[0, :, g * kz + dz]  # [BLK] int32
                 relp = v // 256 - 1
-                lane = v % 256
+                lane = (v % 256)[:, None]
                 ohs.append((rows_iota == relp[:, None]).astype(jnp.bfloat16))
-                idxs.append(jnp.minimum(lane[:, None] + lane_iota, 127))
+                msks.append(((lane_iota >= lane) &
+                             (lane_iota < lane + Cin)).astype(jnp.bfloat16))
             oh = ohs[0] if kz == 1 else jnp.concatenate(ohs, axis=0)
-            idx = idxs[0] if kz == 1 else jnp.concatenate(idxs, axis=0)
+            msk = msks[0] if kz == 1 else jnp.concatenate(msks, axis=0)
             dma(g, g % ns).wait()
             g8 = jnp.dot(oh, win[g % ns], preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.DEFAULT)
-            gg = jnp.take_along_axis(g8, idx, axis=1)
+            gm = g8.astype(jnp.bfloat16) * msk
             for dz in range(kz):
                 k = g * kz + dz
-                a_scr[:, k * Cin:(k + 1) * Cin] = (
-                    gg[dz * BLK:(dz + 1) * BLK, :Cin].astype(jnp.bfloat16))
+                a_scr[:, k * 128:(k + 1) * 128] = gm[dz * BLK:(dz + 1) * BLK]
 
         # unpack dout [BLKPo, 128] -> [BLK, Cout] with static one-hot
         # selects
@@ -382,7 +383,7 @@ def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
         dwb = jax.lax.dot_general(
             a_scr[...], dmat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)  # [KCpad, Cout]
+            precision=jax.lax.Precision.DEFAULT)  # [K*128, Cout]
         dw_ref[...] += dwb
 
 
@@ -408,9 +409,8 @@ def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
         dout_packed = jnp.pad(
             dout_packed, ((0, need - dout_packed.shape[0]), (0, 0)))
 
-    KC = K * Cin
-    KCpad = (KC + 127) // 128 * 128
-    # dW holds [KCpad, Cout] f32 in VMEM too — tighter window budget
+    KL = K * 128
+    # dW holds [K*128, Cout] f32 in VMEM too — tighter window budget
     ns = _ring_slots(K // kz, WP, budget_bytes=4 << 20)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -423,11 +423,11 @@ def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
             pl.BlockSpec((BLKPo, 128), lambda b, m: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((KCpad, Cout), lambda b, m: (0, 0),
+        out_specs=pl.BlockSpec((KL, Cout), lambda b, m: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((ns, WP, 128), jnp.bfloat16),
-            pltpu.VMEM((blk, KCpad), jnp.bfloat16),
+            pltpu.VMEM((blk, KL), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((ns,)),
         ],
     )
@@ -437,12 +437,15 @@ def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
     dw = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((KCpad, Cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((KL, Cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(wrb.s8, wrb.sel, feats_packed, dout_packed)
-    return dw[:KC].reshape(K, Cin, Cout)
+    # fold the per-slot replicas: A's column (k, p*Cin + c) holds channel
+    # c of neighbors sitting at packed slot p (zeros elsewhere), so
+    # summing over p recovers dW[k, c, :]
+    return dw.reshape(K, P, Cin, Cout).sum(axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
