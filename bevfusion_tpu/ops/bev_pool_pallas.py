@@ -46,39 +46,34 @@ __all__ = ["rank_segment_sum", "lss_bev_pool_tpu"]
 CHUNK = 1024
 
 
-def _kernel(meta_ref, slot_ref, rows_ref, d_ref, ids_ref, heads_ref,
-            out_hbm, scratch, carry, sems):
+def _kernel(meta_ref, slot_ref, rows_ref, out_hbm, scratch, carry, sems, *,
+            C):
     """One grid step = one chunk of CHUNK sorted points.
 
     meta_ref:  SMEM [nchunks, 2] int32 (rank_offset, cont)
     slot_ref:  VMEM [1, CHUNK] int32 local segment slot per point
-    rows_ref:  VMEM [CHUNK, C] bf16 gathered context rows
-    d_ref:     VMEM [CHUNK, 1] f32 sorted depths
-    ids_ref:   VMEM [CHUNK, 1] int32 sorted cell ids
-    heads_ref: VMEM [CHUNK, 1] int32 segment-head flags
+    rows_ref:  VMEM [CHUNK, 128] bf16: lanes [0, C) gathered context,
+               lane C / C+1 the depth split hi/lo (two bf16 lanes keep
+               ~f32 precision), lanes C+2..C+4 the head-premultiplied
+               base-64 cell-id digits. Packing everything into one
+               128-lane operand avoids [N, 1] side inputs whose minor
+               dim pads 128x in HBM (three such operands cost ~9 ms).
     out_hbm:   HBM [cap_ranks, Cp=128] f32
     scratch:   VMEM [2, CHUNK, Cp] f32 (double-buffered DMA source)
     carry:     VMEM [8, Cp] f32 (row 0 = running partial of the open segment)
-
-    The depth (x) context product and the exact base-64 id-digit columns
-    are built in VMEM here (moving them out of XLA saved ~13 ms/frame of
-    lane-padded elementwise traffic).
     """
     c = pl.program_id(0)
     nchunks = pl.num_programs(0)
     slot_row = slot_ref[0, 0, :]  # [CHUNK] int32
     Cp = 128
-    C = rows_ref.shape[2]
 
-    vals80 = (rows_ref[0].astype(jnp.float32) * d_ref[0]).astype(jnp.bfloat16)
-    idp = ids_ref[0] + 1  # [CHUNK, 1]
-    hf = heads_ref[0].astype(jnp.bfloat16)
-    dig0 = hf * (idp // 4096).astype(jnp.bfloat16)
-    dig1 = hf * ((idp // 64) % 64).astype(jnp.bfloat16)
-    dig2 = hf * (idp % 64).astype(jnp.bfloat16)
-    vals = jnp.concatenate(
-        [vals80, dig0, dig1, dig2,
-         jnp.zeros((CHUNK, Cp - C - 3), jnp.bfloat16)], axis=1)
+    data = rows_ref[0]  # [CHUNK, 128] bf16
+    d = (data[:, C:C + 1].astype(jnp.float32)
+         + data[:, C + 1:C + 2].astype(jnp.float32))  # [CHUNK, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, Cp), 1)
+    mult = jnp.where(lane < C, d,
+                     jnp.where((lane >= C + 2) & (lane < C + 5), 1.0, 0.0))
+    vals = (data.astype(jnp.float32) * mult).astype(jnp.bfloat16)
 
     # one-hot^T: oh[s, j] = (slot[j] == s); s over sublanes, j over lanes
     oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
@@ -126,12 +121,13 @@ def _kernel(meta_ref, slot_ref, rows_ref, d_ref, ids_ref, heads_ref,
         cp.wait()
 
 
-def rank_segment_sum(rows, d_s, ids_s, heads, slot, meta, cap_ranks: int):
-    """rows [nchunks, CHUNK, C] bf16; d_s/ids_s/heads [nchunks, CHUNK, 1];
+def rank_segment_sum(rows, slot, meta, C: int, cap_ranks: int):
+    """rows [nchunks, CHUNK, 128] bf16 (lanes [0, C) context, C/C+1
+    depth hi/lo, C+2..C+4 head-premultiplied id digits);
     slot [nchunks, 1, CHUNK] int32; meta [nchunks, 2] int32
     -> rank-space sums [cap_ranks, 128] f32 (first C lanes = feature
-    sums, lanes C..C+2 = exact cell-id digits)."""
-    nchunks, _, C = rows.shape
+    sums, lanes C+2..C+4 = exact cell-id digits)."""
+    nchunks = rows.shape[0]
     Cp = 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -141,13 +137,7 @@ def rank_segment_sum(rows, d_s, ids_s, heads, slot, meta, cap_ranks: int):
             # (1 == full dim, CHUNK % 128 == 0) tiling
             pl.BlockSpec((1, 1, CHUNK), lambda c, m: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, C), lambda c, m: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, 1), lambda c, m: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, 1), lambda c, m: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, 1), lambda c, m: (c, 0, 0),
+            pl.BlockSpec((1, CHUNK, Cp), lambda c, m: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -158,19 +148,14 @@ def rank_segment_sum(rows, d_s, ids_s, heads, slot, meta, cap_ranks: int):
         ],
     )
 
-    def kern(meta_ref, slot_ref, rows_ref, d_ref, ids_ref, heads_ref,
-             out_hbm, scratch, carry, sems):
-        _kernel(meta_ref, slot_ref, rows_ref, d_ref, ids_ref, heads_ref,
-                out_hbm, scratch, carry, sems)
-
     return pl.pallas_call(
-        kern,
+        functools.partial(_kernel, C=C),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap_ranks, Cp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(meta, slot, rows, d_s, ids_s, heads)
+    )(meta, slot, rows)
 
 
 def _round_up(x, m):
@@ -206,24 +191,42 @@ def _lss_pool_one(depth, ctx, ids, valid, num_cells: int, C: int):
     cont = 1 - heads[::CHUNK].astype(jnp.int32)
     slot = grank - jnp.repeat(rank_offset, CHUNK)
     assert num_cells + 1 < 64 ** 3, "cell-id digits need 3 base-64 digits"
-    assert C + 3 <= 128, "feature + digit lanes must fit one 128-lane row"
+    assert C + 5 <= 128, "feature + depth + digit lanes must fit 128 lanes"
 
-    # depth*ctx and the digit columns are built inside the kernel
+    # one 128-lane data operand: context rows + depth split hi/lo (two
+    # bf16 lanes reproduce f32 depth to ~2^-16) + head-premultiplied
+    # digits. Side operands shaped [N, 1] pad their minor dim 128x in
+    # HBM (three of them cost ~9 ms/frame at 2M points).
+    d32 = d_s.astype(jnp.float32)
+    d_hi = d32.astype(jnp.bfloat16)
+    d_lo = (d32 - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    idp = ids_s + 1
+    hf = heads.astype(jnp.bfloat16)
+    # one fused elementwise producer for the extra lanes — no [N, 1]
+    # reshapes/stacks (each materialized [N, 1] costs ~2 ms: the minor
+    # dim pads 128x in HBM)
+    el = jax.lax.broadcasted_iota(jnp.int32, (Np_pad, 128 - C), 1)
+    cols = [d_hi, d_lo,
+            hf * (idp // 4096).astype(jnp.bfloat16),
+            hf * ((idp // 64) % 64).astype(jnp.bfloat16),
+            hf * (idp % 64).astype(jnp.bfloat16)]
+    extra = jnp.zeros((Np_pad, 128 - C), jnp.bfloat16)
+    for j, v in enumerate(cols):
+        extra = jnp.where(el == j, v[:, None], extra)
+    data = jnp.concatenate([rows, extra], axis=1)
+
     cap_ranks = _round_up(num_cells + 2 + CHUNK, 8)
     sums = rank_segment_sum(
-        rows.reshape(nchunks, CHUNK, C),
-        d_s.reshape(nchunks, CHUNK, 1),
-        ids_s.reshape(nchunks, CHUNK, 1),
-        heads.astype(jnp.int32).reshape(nchunks, CHUNK, 1),
+        data.reshape(nchunks, CHUNK, 128),
         slot.reshape(nchunks, 1, CHUNK),
         jnp.stack([rank_offset, cont], axis=1),
-        cap_ranks,
+        C, cap_ranks,
     )
 
     cell = (
-        jnp.round(sums[:, C]).astype(jnp.int32) * 4096
-        + jnp.round(sums[:, C + 1]).astype(jnp.int32) * 64
-        + jnp.round(sums[:, C + 2]).astype(jnp.int32)
+        jnp.round(sums[:, C + 2]).astype(jnp.int32) * 4096
+        + jnp.round(sums[:, C + 3]).astype(jnp.int32) * 64
+        + jnp.round(sums[:, C + 4]).astype(jnp.int32)
     ) - 1
     # rows beyond the real ranks (overwritten garbage / sentinel run) get
     # unique out-of-bounds indices so the scatter can claim uniqueness.

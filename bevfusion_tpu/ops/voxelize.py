@@ -83,8 +83,11 @@ def voxelize(
     ids = (cx * ny + cy) * nz + cz  # x-major: sparse-encoder site order
     ids = jnp.where(pvalid, ids, num_cells)
 
-    order = jnp.argsort(ids, stable=True)
-    ids_s = jnp.take(ids, order)
+    # one multi-operand sort yields ids_s AND the permutation (argsort +
+    # take re-gathers what the sort already computed; 1D gathers cost
+    # ~1 ms/120k on this backend)
+    ids_s, order = jax.lax.sort(
+        (ids, jnp.arange(P, dtype=jnp.int32)), num_keys=1, is_stable=True)
 
     M = max_voxels
     # per-point segment index (0-based, nondecreasing); boundaries found
@@ -123,13 +126,14 @@ def voxelize(
         # max_points >= P this is exactly DynamicScatter's uncapped
         # mean/sum/max over all points of a voxel
         # (reference ops/voxel/scatter_points.py:8-104).
-        pos_in_seg = jnp.arange(P, dtype=jnp.int32) - jnp.take(
-            starts, jnp.clip(seg_of_point, 0, M - 1)
-        )
+        # segment start per point via cummax of head positions (a scan,
+        # not a 120k-row gather from starts)
+        seg_start = jax.lax.cummax(jnp.where(headb, pos, 0))
+        pos_in_seg = pos - seg_start
         use = (
             (seg_of_point < M)
             & (pos_in_seg < max_points)
-            & (jnp.take(ids_s, jnp.arange(P)) < num_cells)
+            & (ids_s < num_cells)
         )
         pts_s = jnp.take(points, order, axis=0)
         seg = jnp.where(use, seg_of_point, M)
@@ -216,8 +220,8 @@ def dynamic_scatter(feats, coords, valid, grid_dims, max_voxels: int,
     )
     ids = jnp.where(ok, (cx * ny + cy) * nz + cz, num_cells)
 
-    order = jnp.argsort(ids, stable=True)
-    ids_s = jnp.take(ids, order)
+    ids_s, order = jax.lax.sort(
+        (ids, jnp.arange(P, dtype=jnp.int32)), num_keys=1, is_stable=True)
     feats_s = jnp.take(feats, order, axis=0)
 
     M = max_voxels
