@@ -21,8 +21,8 @@ from .matching import auction_assignment, hungarian_costs
 IOU_CALCULATORS = Registry("iou_calculators")
 SAMPLERS = Registry("bbox_samplers")
 
-__all__ = ["BboxOverlaps3D", "PseudoSampler", "HungarianAssigner3D",
-           "IOU_CALCULATORS", "SAMPLERS"]
+__all__ = ["BboxOverlaps3D", "PseudoSampler", "IoUNegPiecewiseSampler",
+           "HungarianAssigner3D", "IOU_CALCULATORS", "SAMPLERS"]
 
 
 @IOU_CALCULATORS.register()
@@ -77,6 +77,91 @@ class PseudoSampler:
         r.neg_inds = neg_inds
         r.pos_assigned_gt_inds = np.asarray(assign_result.gt_inds)[pos_inds] - 1
         r.pos_gt_bboxes = np.asarray(gt_bboxes)[r.pos_assigned_gt_inds]
+        return r
+
+
+@SAMPLERS.register()
+class IoUNegPiecewiseSampler:
+    """IoU piecewise negative sampling (PartA2-style two-stage training;
+    core/bbox/samplers/iou_neg_piecewise_sampler.py:9-155): positives
+    sampled at random up to num*pos_fraction; negatives drawn from IoU
+    pieces bounded by neg_iou_piece_thrs with per-piece fractions, any
+    shortfall rolled into the next piece. Host-side (train-data prep),
+    numpy RNG."""
+
+    def __init__(self, num, pos_fraction=None, neg_piece_fractions=None,
+                 neg_iou_piece_thrs=None, neg_pos_ub=-1,
+                 add_gt_as_proposals=False, return_iou=False, seed=None):
+        assert isinstance(neg_piece_fractions, (list, tuple))
+        assert len(neg_piece_fractions) == len(neg_iou_piece_thrs)
+        self.num = int(num)
+        self.pos_fraction = pos_fraction
+        self.neg_piece_fractions = list(neg_piece_fractions)
+        self.neg_iou_thr = list(neg_iou_piece_thrs)
+        self.neg_pos_ub = neg_pos_ub
+        self.add_gt_as_proposals = add_gt_as_proposals
+        self.return_iou = return_iou
+        self.neg_piece_num = len(self.neg_piece_fractions)
+        self._rng = np.random.default_rng(seed)
+
+    def _random_choice(self, gallery: np.ndarray, num: int) -> np.ndarray:
+        return self._rng.choice(gallery, size=num, replace=False)
+
+    def _sample_pos(self, assign_result: AssignResult, num_expected: int):
+        pos_inds = np.nonzero(np.asarray(assign_result.gt_inds) > 0)[0]
+        if len(pos_inds) <= num_expected:
+            return pos_inds
+        return self._random_choice(pos_inds, num_expected)
+
+    def _sample_neg(self, assign_result: AssignResult, num_expected: int):
+        neg_inds = np.nonzero(np.asarray(assign_result.gt_inds) == 0)[0]
+        if len(neg_inds) <= num_expected:
+            return neg_inds
+        choice = np.zeros((0,), np.int64)
+        extend = 0
+        max_overlaps = np.asarray(assign_result.max_overlaps)[neg_inds]
+        for piece in range(self.neg_piece_num):
+            if piece == self.neg_piece_num - 1:
+                expected = num_expected - len(choice)
+                min_thr = 0.0
+            else:
+                expected = int(
+                    num_expected * self.neg_piece_fractions[piece]) + extend
+                min_thr = self.neg_iou_thr[piece + 1]
+            max_thr = self.neg_iou_thr[piece]
+            in_piece = np.nonzero(
+                (max_overlaps >= min_thr) & (max_overlaps < max_thr))[0]
+            if len(in_piece) < expected:
+                choice = np.concatenate([choice, neg_inds[in_piece]])
+                extend += expected - len(in_piece)
+            else:
+                picked = self._random_choice(in_piece, expected)
+                choice = np.concatenate([choice, neg_inds[picked]])
+                extend = 0
+        return choice
+
+    def sample(self, assign_result: AssignResult, bboxes, gt_bboxes,
+               gt_labels=None):
+        bboxes = np.atleast_2d(np.asarray(bboxes))
+        expected_pos = int(self.num * (self.pos_fraction or 0))
+        pos_inds = np.unique(self._sample_pos(assign_result, expected_pos))
+        expected_neg = self.num - len(pos_inds)
+        if self.neg_pos_ub >= 0:
+            expected_neg = min(expected_neg,
+                               int(self.neg_pos_ub * max(1, len(pos_inds))))
+        neg_inds = np.unique(self._sample_neg(assign_result, expected_neg))
+
+        class _R:
+            pass
+
+        r = _R()
+        r.pos_inds = pos_inds
+        r.neg_inds = neg_inds
+        r.pos_assigned_gt_inds = np.asarray(assign_result.gt_inds)[pos_inds] - 1
+        r.pos_gt_bboxes = np.asarray(gt_bboxes)[r.pos_assigned_gt_inds]
+        if self.return_iou:
+            r.iou = np.asarray(assign_result.max_overlaps)[
+                np.concatenate([pos_inds, neg_inds])]
         return r
 
 

@@ -144,3 +144,160 @@ def test_camera_radar_model():
                                               mutable=["batch_stats"]))(vs, batch)
     assert out["masks_bev"].shape == (B, 16, 16, 1)
     assert np.isfinite(np.asarray(out["masks_bev"])).all()
+
+
+def test_delta_xyzwhlr_coder_roundtrip_and_torch_oracle():
+    from bevfusion_tpu.core.coders import DeltaXYZWLHRBBoxCoder
+
+    rng = np.random.RandomState(3)
+    anchors = np.concatenate([
+        rng.uniform(-20, 20, (6, 3)), rng.uniform(1, 4, (6, 3)),
+        rng.uniform(-3, 3, (6, 1)),
+    ], -1).astype(np.float32)
+    gts = np.concatenate([
+        rng.uniform(-20, 20, (6, 3)), rng.uniform(1, 4, (6, 3)),
+        rng.uniform(-3, 3, (6, 1)),
+    ], -1).astype(np.float32)
+    deltas = np.asarray(DeltaXYZWLHRBBoxCoder.encode(anchors, gts))
+    back = np.asarray(DeltaXYZWLHRBBoxCoder.decode(anchors, deltas))
+    np.testing.assert_allclose(back, gts, atol=1e-4)
+
+    # torch oracle of delta_xyzwhlr_bbox_coder.py:36-52 encode math
+    import torch
+
+    a = torch.from_numpy(anchors)
+    g = torch.from_numpy(gts)
+    za, zg = a[:, 2] + a[:, 5] / 2, g[:, 2] + g[:, 5] / 2
+    diag = torch.sqrt(a[:, 4] ** 2 + a[:, 3] ** 2)
+    ref = torch.stack([
+        (g[:, 0] - a[:, 0]) / diag, (g[:, 1] - a[:, 1]) / diag,
+        (zg - za) / a[:, 5],
+        torch.log(g[:, 3] / a[:, 3]), torch.log(g[:, 4] / a[:, 4]),
+        torch.log(g[:, 5] / a[:, 5]), g[:, 6] - a[:, 6],
+    ], -1)
+    np.testing.assert_allclose(deltas, ref.numpy(), atol=1e-5)
+
+    # 9-dim (velocity) path: extra dims are plain residuals
+    a9 = np.concatenate([anchors, rng.randn(6, 2).astype(np.float32)], -1)
+    g9 = np.concatenate([gts, rng.randn(6, 2).astype(np.float32)], -1)
+    d9 = np.asarray(DeltaXYZWLHRBBoxCoder.encode(a9, g9))
+    np.testing.assert_allclose(
+        np.asarray(DeltaXYZWLHRBBoxCoder.decode(a9, d9)), g9, atol=1e-4)
+
+
+def test_partial_bin_coder_angle_roundtrip_and_decode():
+    from bevfusion_tpu.core.coders import PartialBinBasedBBoxCoder
+
+    mean_sizes = [[2.0, 4.0, 1.5], [0.6, 0.8, 1.7], [1.0, 1.0, 1.0]]
+    coder = PartialBinBasedBBoxCoder(12, 3, mean_sizes)
+    rng = np.random.RandomState(0)
+    yaw = rng.uniform(-np.pi, np.pi, (32,)).astype(np.float32)
+    cls, res = coder.angle2class(jnp.asarray(yaw))
+    rec = np.asarray(coder.class2angle(cls, res))
+    # roundtrip up to 2pi wrap
+    d = np.abs(rec - yaw) % (2 * np.pi)
+    assert np.all(np.minimum(d, 2 * np.pi - d) < 1e-5)
+
+    # encode -> decode roundtrip through split-style dicts
+    boxes = np.concatenate([
+        rng.uniform(-5, 5, (4, 3)), rng.uniform(1, 3, (4, 3)),
+        rng.uniform(-np.pi * 0.9, np.pi * 0.9, (4, 1)),
+    ], -1).astype(np.float32)
+    labels = np.array([0, 1, 2, 1])
+    center, size_cls, size_res, dir_cls, dir_res = coder.encode(
+        jnp.asarray(boxes), jnp.asarray(labels))
+    bbox_out = {
+        "center": center[None],
+        "dir_class": jax.nn.one_hot(dir_cls, 12)[None] * 10,
+        "dir_res": jnp.tile(dir_res[:, None], (1, 12))[None],
+        "size_class": jax.nn.one_hot(size_cls, 3)[None] * 10,
+        "size_res": jnp.tile(size_res[:, None, :], (1, 3, 1))[None],
+    }
+    dec = np.asarray(coder.decode(bbox_out))[0]
+    np.testing.assert_allclose(dec[:, :2], boxes[:, :2], atol=1e-4)
+    np.testing.assert_allclose(dec[:, 2], boxes[:, 2] + boxes[:, 5] / 2,
+                               atol=1e-4)
+    np.testing.assert_allclose(dec[:, 3:6], boxes[:, 3:6], atol=1e-4)
+    dy = np.abs(dec[:, 6] - boxes[:, 6]) % (2 * np.pi)
+    assert np.all(np.minimum(dy, 2 * np.pi - dy) < 1e-4)
+
+
+def test_anchor_free_and_groupfree_coders():
+    from bevfusion_tpu.core.coders import (
+        AnchorFreeBBoxCoder, GroupFree3DBBoxCoder,
+    )
+
+    rng = np.random.RandomState(1)
+    coder = AnchorFreeBBoxCoder(num_dir_bins=12)
+    cls_preds = jnp.asarray(rng.randn(2, 5, 16), jnp.float32)
+    reg_preds = jnp.asarray(rng.randn(2, 6 + 24, 16), jnp.float32)
+    base_xyz = jnp.asarray(rng.randn(2, 16, 3), jnp.float32)
+    split = coder.split_pred(cls_preds, reg_preds, base_xyz)
+    assert split["center"].shape == (2, 16, 3)
+    assert split["dir_class"].shape == (2, 16, 12)
+    dec = coder.decode({**split, "size": split["size"]})
+    assert dec.shape == (2, 16, 7)
+    assert np.all(np.asarray(dec[..., 3:6]) >= 0.1 - 1e-6)
+
+    gf = GroupFree3DBBoxCoder(12, 3, [[2, 4, 1.5]] * 3,
+                              size_cls_agnostic=True)
+    reg2 = jnp.asarray(rng.randn(2, 3 + 24 + 3, 16), jnp.float32)
+    split2 = gf.split_pred(cls_preds, reg2, base_xyz, prefix="p.")
+    dec2 = gf.decode(split2, prefix="p.")
+    assert dec2.shape == (2, 16, 7)
+
+
+def test_nms_free_coder():
+    from bevfusion_tpu.core.coders import (
+        NMSFreeCoder, denormalize_bbox, normalize_bbox,
+    )
+
+    rng = np.random.RandomState(2)
+    boxes = np.concatenate([
+        rng.uniform(-40, 40, (8, 3)), rng.uniform(1, 4, (8, 3)),
+        rng.uniform(-np.pi, np.pi, (8, 1)), rng.randn(8, 2),
+    ], -1).astype(np.float32)
+    norm = normalize_bbox(jnp.asarray(boxes))
+    back = np.asarray(denormalize_bbox(norm))
+    np.testing.assert_allclose(back[:, :6], boxes[:, :6], atol=1e-4)
+    np.testing.assert_allclose(back[:, 7:], boxes[:, 7:], atol=1e-5)
+
+    coder = NMSFreeCoder(
+        pc_range=[-50, -50, -5, 50, 50, 3],
+        post_center_range=[-60, -60, -10, 60, 60, 10],
+        max_num=6, num_classes=4, score_threshold=0.0)
+    cls_scores = jnp.asarray(rng.randn(1, 20, 4), jnp.float32)
+    bbox_preds = jnp.tile(norm[:1][None], (1, 20, 1)).at[...].set(
+        jnp.asarray(np.tile(np.asarray(norm)[rng.randint(0, 8, 20)][None],
+                            (1, 1, 1))))
+    outs = coder.decode({"all_cls_scores": cls_scores[None],
+                         "all_bbox_preds": bbox_preds[None]})
+    assert len(outs) == 1
+    assert outs[0]["bboxes"].shape == (6, 9)
+    assert outs[0]["scores"].shape == (6,)
+    s = np.asarray(outs[0]["scores"])
+    assert np.all(np.diff(s) <= 1e-6)
+
+
+def test_iou_neg_piecewise_sampler():
+    from bevfusion_tpu.core.assign_sample import IoUNegPiecewiseSampler
+
+    n_pred = 200
+    rng = np.random.RandomState(0)
+    gt_inds = np.zeros(n_pred, np.int64)
+    gt_inds[:20] = rng.randint(1, 3, 20)
+    overlaps = rng.uniform(0, 0.6, n_pred).astype(np.float32)
+    res = AssignResult(2, gt_inds, overlaps, np.zeros(n_pred, np.int64))
+    sampler = IoUNegPiecewiseSampler(
+        num=128, pos_fraction=0.5, neg_piece_fractions=[0.8, 0.2],
+        neg_iou_piece_thrs=[0.55, 0.1], neg_pos_ub=-1,
+        return_iou=True, seed=0)
+    gt = np.zeros((2, 7), np.float32)
+    r = sampler.sample(res, np.zeros((n_pred, 7), np.float32), gt)
+    assert len(r.pos_inds) <= 64
+    assert len(r.pos_inds) + len(r.neg_inds) <= 128
+    assert np.all(gt_inds[r.neg_inds] == 0)
+    assert np.all(gt_inds[r.pos_inds] > 0)
+    assert r.iou.shape == (len(r.pos_inds) + len(r.neg_inds),)
+    # negatives must respect the piece upper bound
+    assert np.all(overlaps[r.neg_inds] < 0.55)
