@@ -112,9 +112,12 @@ def hungarian_costs(cls_score, boxes_norm_xy, gt_norm_xy, iou, gt_labels,
     centers normalized to [0,1]; iou: [P, G] 3D IoU.
     Returns cost [G, P].
     """
-    # FocalLossCost (mmdet match_costs): pos - neg gathered at gt label
-    neg = -jnp.log(1 - cls_score + eps) * (1 - alpha) * cls_score**gamma
-    pos = -jnp.log(cls_score + eps) * alpha * (1 - cls_score) ** gamma
+    # FocalLossCost (mmdet match_costs): pos - neg gathered at gt label.
+    # max(., eps) instead of + eps: XLA reassociates (1 - s) + eps to
+    # (1 + eps) - s under jit, absorbing the guard; f32 sigmoid saturates
+    # to exactly 1.0 (logits >= ~17) and the cost would go inf.
+    neg = -jnp.log(jnp.maximum(1 - cls_score, eps)) * (1 - alpha) * cls_score**gamma
+    pos = -jnp.log(jnp.maximum(cls_score, eps)) * alpha * (1 - cls_score) ** gamma
     cls_cost = (pos - neg)[:, gt_labels]  # [P, G]
     reg_cost = jnp.sum(
         jnp.abs(boxes_norm_xy[:, None, :] - gt_norm_xy[None, :, :]), axis=-1

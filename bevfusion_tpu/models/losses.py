@@ -17,8 +17,12 @@ __all__ = ["sigmoid_focal_loss", "gaussian_focal_loss", "l1_loss"]
 
 
 def clip_sigmoid(x, eps: float = 1e-4):
-    """Sigmoid clamped away from {0, 1} (transfusion.py:31-33)."""
-    return jnp.clip(jax.nn.sigmoid(x), eps, 1 - eps)
+    """Sigmoid clamped away from {0, 1} (transfusion.py:31-33).
+
+    Computed in f32: in bf16 the upper bound 1 - 1e-4 rounds to exactly
+    1.0, which defeats the clamp and lets a downstream log(1 - pred)
+    reach -inf."""
+    return jnp.clip(jax.nn.sigmoid(x.astype(jnp.float32)), eps, 1 - eps)
 
 
 def sigmoid_focal_loss(logits, labels, weight=None, avg_factor=None,
@@ -50,8 +54,12 @@ def gaussian_focal_loss(pred, gaussian_target, weight=None, avg_factor=None,
     t = gaussian_target.astype(jnp.float32)
     pos_w = (t == 1.0).astype(jnp.float32)
     neg_w = (1 - t) ** gamma
-    pos = -jnp.log(pred + eps) * (1 - pred) ** alpha * pos_w
-    neg = -jnp.log(1 - pred + eps) * pred**alpha * neg_w
+    # guard the logs with max(., eps) rather than adding eps: XLA's
+    # algebraic simplifier reassociates (1 - pred) + eps to
+    # (1 + eps) - pred under jit, which absorbs the eps and yields
+    # log(0) = -inf when pred saturates to exactly 1.0
+    pos = -jnp.log(jnp.maximum(pred, eps)) * (1 - pred) ** alpha * pos_w
+    neg = -jnp.log(jnp.maximum(1 - pred, eps)) * pred**alpha * neg_w
     loss = pos + neg
     if weight is not None:
         loss = loss * weight.astype(jnp.float32)

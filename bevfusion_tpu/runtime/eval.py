@@ -8,9 +8,60 @@ labels_3d or masks_bev for dataset.evaluate).
 """
 from __future__ import annotations
 
+import os
+import pickle
+import time
 from typing import Any, Callable, Dict, List, Optional
 
-__all__ = ["run_model_on_loader", "evaluate_dataset", "_find_overflow"]
+__all__ = ["run_model_on_loader", "evaluate_dataset", "_find_overflow",
+           "shard_indices", "collect_results_cpu"]
+
+
+def shard_indices(n: int, rank: int, world: int) -> range:
+    """Round-robin dataset shard for one eval process — the reference's
+    DistributedSampler(shuffle=False) split driven by multi_gpu_test
+    (tools/test.py:198-203): rank r evaluates samples r, r+world, ..."""
+    return range(rank, n, world)
+
+
+def collect_results_cpu(result_part: List[Any], size: int, tmpdir: str,
+                        rank: int, world: int,
+                        timeout: float = 600.0) -> Optional[List[Any]]:
+    """Gather per-rank result lists through a shared directory.
+
+    Mirrors mmdet's collect_results_cpu (used by multi_gpu_test,
+    tools/test.py:203): every rank pickles its part, rank 0 waits for
+    all parts, interleaves them back into dataset order (parts come
+    from the round-robin shard_indices split) and truncates to `size`.
+    Non-zero ranks return None. Writes are atomic (tmp + rename) so a
+    partially-written part is never loaded. In a jax.distributed
+    deployment rank/world come from jax.process_index()/count() and
+    tmpdir sits on shared storage.
+    """
+    os.makedirs(tmpdir, exist_ok=True)
+    final = os.path.join(tmpdir, f"part_{rank}.pkl")
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(result_part, f)
+    os.replace(tmp, final)
+    if rank != 0:
+        return None
+    parts: List[List[Any]] = []
+    deadline = time.time() + timeout
+    for r in range(world):
+        path = os.path.join(tmpdir, f"part_{r}.pkl")
+        while not os.path.exists(path):
+            if time.time() > deadline:
+                raise TimeoutError(f"eval rank {r} never produced {path}")
+            time.sleep(0.05)
+        with open(path, "rb") as f:
+            parts.append(pickle.load(f))
+    ordered: List[Any] = []
+    for i in range(max((len(p) for p in parts), default=0)):
+        for p in parts:
+            if i < len(p):
+                ordered.append(p[i])
+    return ordered[:size]
 
 
 def _find_overflow(tree):
@@ -71,9 +122,16 @@ def run_model_on_loader(infer: Callable, loader) -> List[Dict[str, Any]]:
 
 
 def evaluate_dataset(model, variables, dataset, loader, metric: str = "bbox",
-                     out_dir: Optional[str] = None) -> Dict[str, float]:
+                     out_dir: Optional[str] = None, rank: int = 0,
+                     world: int = 1,
+                     tmpdir: Optional[str] = None) -> Optional[Dict[str, float]]:
     """One eval pass (the per-epoch DistEvalHook body): jit the eval
-    forward once, collect results, dispatch to the dataset metric."""
+    forward once, collect results, dispatch to the dataset metric.
+
+    Multi-process: pass rank/world (jax.process_index()/count()) and a
+    shared tmpdir; each process runs its loader shard (built over
+    shard_indices) and rank 0 merges + evaluates (multi_gpu_test
+    semantics, tools/test.py:198-226). Non-zero ranks return None."""
     import jax
 
     @jax.jit
@@ -89,6 +147,12 @@ def evaluate_dataset(model, variables, dataset, loader, metric: str = "bbox",
         return out
 
     results = run_model_on_loader(infer, loader)
+    if world > 1:
+        results = collect_results_cpu(
+            results, len(dataset), tmpdir or (out_dir or "runs/eval") + "/parts",
+            rank, world)
+        if results is None:
+            return None
     if metric == "map":
         return dataset.evaluate_map(results)
     return dataset.evaluate_detection(results, out_dir or "runs/eval")

@@ -164,3 +164,37 @@ def test_evaluate_map_sweep(fake_dataset):
     assert set(m) == {"map/drivable_area/iou@max", "map/divider/iou@max",
                       "map/mean/iou@max"}
     assert m["map/mean/iou@max"] > 0.9  # near-perfect predictions
+
+
+def test_collect_results_cpu_multiprocess_order(tmp_path):
+    """Rank-sharded eval results must merge back into dataset order
+    (mmdet collect_results_cpu semantics driven by multi_gpu_test,
+    reference tools/test.py:198-203). Parts are produced by separate
+    processes; rank 0 polls the shared dir."""
+    import subprocess
+    import sys
+
+    from bevfusion_tpu.runtime.eval import collect_results_cpu, shard_indices
+
+    n, world = 11, 3
+    shards = [list(shard_indices(n, r, world)) for r in range(world)]
+    assert sorted(sum(map(list, shards), [])) == list(range(n))
+
+    # ranks 1..2 written by real subprocesses (atomic-rename path)
+    code = (
+        "import sys; sys.path.insert(0, {root!r})\n"
+        "from bevfusion_tpu.runtime.eval import collect_results_cpu\n"
+        "rank = int(sys.argv[1])\n"
+        "part = [('sample', i) for i in range({n}) if i % {world} == rank]\n"
+        "collect_results_cpu(part, {n}, sys.argv[2], rank, {world})\n"
+    ).format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             n=n, world=world)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(r),
+                               str(tmp_path)], env=env)
+             for r in (1, 2)]
+    part0 = [("sample", i) for i in shards[0]]
+    merged = collect_results_cpu(part0, n, str(tmp_path), 0, world)
+    for p in procs:
+        assert p.wait() == 0
+    assert merged == [("sample", i) for i in range(n)]

@@ -187,3 +187,30 @@ def test_centerhead_forward_loss_decode():
     out, _ = decode(vs, feats)
     assert out["bboxes"].shape == (B, 2 * 20, 9)
     assert int(out["labels"].max()) <= 2
+
+
+def test_gaussian_focal_loss_saturated_bf16_pred_finite_under_jit():
+    """Regression: XLA reassociates (1 - pred) + eps into (1 + eps) - pred
+    under jit, absorbing the eps guard; with bf16 clip_sigmoid the upper
+    clamp 1 - 1e-4 rounds to exactly 1.0, so log(1 - pred) hit -inf and
+    the heatmap loss went inf at flagship/half scale (found by
+    tools/dryrun_flagship_sharded.py). The guard is now max(., eps)
+    inside the log and clip_sigmoid computes in f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_tpu.models.losses import clip_sigmoid, gaussian_focal_loss
+
+    # bf16 logits large enough to saturate sigmoid on both sides
+    logits = jnp.asarray([[30.0, -30.0, 0.0, 11.8]], jnp.bfloat16)
+    pred = clip_sigmoid(logits)
+    assert float(pred.max()) < 1.0
+
+    # even with pred exactly 1.0 the jitted loss must stay finite
+    hard_pred = jnp.asarray([[1.0, 0.0, 0.5, 1.0]], jnp.float32)
+    target = jnp.asarray([[1.0, 0.0, 0.3, 0.0]], jnp.float32)
+    loss = jax.jit(gaussian_focal_loss)(hard_pred, target, avg_factor=1.0)
+    assert np.isfinite(float(loss))
+    loss2 = jax.jit(gaussian_focal_loss)(clip_sigmoid(logits), target,
+                                         avg_factor=1.0)
+    assert np.isfinite(float(loss2))

@@ -194,11 +194,16 @@ class DepthLSSSkeleton(nn.Module):
 
 
 class SECONDSkeleton(nn.Module):
-    def __init__(self, cin=256, outs=(128, 256), layers=(5, 5)):
+    def __init__(self, cin=256, outs=(128, 256), layers=(5, 5),
+                 strides=(1, 2)):
         super().__init__()
         blocks = []
         for i, (c, n) in enumerate(zip(outs, layers)):
-            mods = [nn.Conv2d(cin, c, 3, padding=1, bias=False),
+            # each stage's lead conv carries the stage stride
+            # (reference SECOND layer_strides [1, 2],
+            # models/backbones/second.py:37-52)
+            mods = [nn.Conv2d(cin, c, 3, padding=1, stride=strides[i],
+                              bias=False),
                     nn.BatchNorm2d(c), nn.ReLU(True)]
             for _ in range(n):
                 mods += [nn.Conv2d(c, c, 3, padding=1, bias=False),
