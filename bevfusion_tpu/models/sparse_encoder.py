@@ -136,6 +136,12 @@ class _WindowedConv(nn.Module):
     lane_channels: int = 0
     # offsets per window group (z-minor triples share one window)
     kz: int = 3
+    # sites per kernel block; MUST match the rulebook builder's blk.
+    # One-hot matmul work per site scales with slack * blk while window
+    # coverage stays slack * blk sites — high-slack (strided) convs use
+    # a small blk (128) to keep the gather matmuls 4x cheaper.
+    blk: int = wg.BLK
+    blk_bwd: int = wg.BLK
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -168,11 +174,11 @@ class _WindowedConv(nn.Module):
                 outs.append(wg.windowed_conv_ad(
                     packed[b], w, wrb, wrb_b, self.out_channels, cap_out,
                     cap_in or cap_out, slack, slack_bwd or slack, mirror,
-                    self.kz))
+                    self.kz, self.blk, self.blk_bwd))
             else:
                 outs.append(wg.windowed_gather_gemm(
                     packed[b], wrb, w, self.out_channels, cap_out,
-                    slack=slack, kz=self.kz))
+                    slack=slack, kz=self.kz, blk=self.blk))
         return jnp.stack(outs)
 
 
@@ -525,6 +531,12 @@ class SparseEncoder(nn.Module):
             # curried form of bmap so call sites keep the vmap shape
             return lambda *args: bmap(fn, *args)
 
+        # subm windows keep the default 512-site block: the one-hot
+        # matmul's contraction dim (WP lanes) pads to 128 anyway, so a
+        # smaller block would shrink only DMA bytes, not MXU work
+        SUBM_BLK = wg.BLK
+        sslack = slack
+
         def subm_wrb(ids_, g, C, tbl=None):
             if tbl is None:
                 tbl = bmap(lambda i: sp.build_column_table(i, g), ids_)
@@ -532,19 +544,25 @@ class SparseEncoder(nn.Module):
             nbr = bmap(lambda i, t: sp.build_subm_rulebook(i, g, 3, table=t),
                        ids_, tbl)
             return bmap(lambda n: wg.build_windowed_rulebook(
-                n, C, slack=slack, kz=3), nbr)
+                n, C, slack=sslack, kz=3, blk=SUBM_BLK), nbr)
 
         overflow = []  # per-conv dropped-neighbor counts (diagnostic)
 
+        # strided convs run 4x the subm slack; a 128-site block keeps
+        # their one-hot gather matmuls (work ~ slack * blk per site) at
+        # subm cost while the window still spans slack * blk sites
+        SBLK = 128
+
         def conv(name, packed_, wrbs, cin, cout, cap_out, K=27, lane_c=0,
                  slack_=None, wrbs_bwd=None, slack_bwd=0, cap_in=0,
-                 mirror=True):
+                 mirror=True, blk=SUBM_BLK, blk_bwd=wg.BLK):
             overflow.append(jnp.sum(wrbs.overflow))
             if wrbs_bwd is not None:
                 overflow.append(jnp.sum(wrbs_bwd.overflow))
             return _WindowedConv(cin, cout, K, lane_channels=lane_c,
+                                 blk=blk, blk_bwd=blk_bwd,
                                  dtype=self.dtype, name=name)(
-                packed_, wrbs, cap_out, slack_ or slack, training=training,
+                packed_, wrbs, cap_out, slack_ or sslack, training=training,
                 wrbs_bwd=wrbs_bwd, slack_bwd=slack_bwd, cap_in=cap_in,
                 mirror=mirror)
 
@@ -649,7 +667,8 @@ class SparseEncoder(nn.Module):
                     # slack 8 is exact on fully-dense truncated regions)
                     swrbs = _BM_(
                         lambda n: wg.build_windowed_rulebook(
-                            n, in_ch, cap_in=cap, slack=4 * slack, kz=3))(cnbr)
+                            n, in_ch, cap_in=cap, slack=4 * slack, kz=3,
+                            blk=SBLK))(cnbr)
                     twrbs = None
                     if training:
                         # backward-data rulebook: transpose pairing over
@@ -666,7 +685,7 @@ class SparseEncoder(nn.Module):
                     packed = conv(f"{name}_spconv", packed, swrbs, in_ch,
                                   out_ch, cap_out, slack_=4 * slack,
                                   wrbs_bwd=twrbs, slack_bwd=2 * slack,
-                                  cap_in=cap, mirror=False)
+                                  cap_in=cap, mirror=False, blk=SBLK)
                     ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
                     packed = bn(f"{name}_bn", packed, mask, out_ch)
                     packed = nn.relu(packed)
@@ -735,7 +754,7 @@ class SparseEncoder(nn.Module):
         )(out_ids, ids, tables["cur"])
         owrbs = _BM_(
             lambda n: wg.build_windowed_rulebook(
-                n, in_ch, cap_in=cap, slack=4 * slack, kz=3))(cnbr)
+                n, in_ch, cap_in=cap, slack=4 * slack, kz=3, blk=SBLK))(cnbr)
         otwrbs = None
         if training:
             nbr_t = _BM_(
@@ -749,7 +768,8 @@ class SparseEncoder(nn.Module):
             )(nbr_t)
         packed = conv("conv_out", packed, owrbs, in_ch, self.output_channels,
                       cap, K=3, slack_=4 * slack, wrbs_bwd=otwrbs,
-                      slack_bwd=2 * slack, cap_in=cap, mirror=False)
+                      slack_bwd=2 * slack, cap_in=cap, mirror=False,
+                      blk=SBLK)
         ids, mask, grid = out_ids, out_mask, out_grid
         packed = bn("bn_out", packed, mask, self.output_channels)
         packed = nn.relu(packed)

@@ -111,12 +111,24 @@ def rasterize_depth(points, points_mask, lidar2image, img_aug, lidar_aug, image_
     ri = jnp.clip(r.astype(jnp.int32), 0, iH - 1)
     ci = jnp.clip(c.astype(jnp.int32), 0, iW - 1)
     n_off = jnp.repeat(jnp.arange(N, dtype=jnp.int32) * iH * iW, P)[None]
+    npix = N * iH * iW
     idx = (ri * iW + ci).reshape(B, N * P) + n_off
+    idx = jnp.where(on_img.reshape(B, N * P), idx, npix)
     vals = jnp.where(on_img, dist, jnp.inf).reshape(B, N * P)
 
-    init = jnp.full((B, N * iH * iW), jnp.inf, f32)
-    out = jax.vmap(lambda ini, ix, vv: ini.at[ix].min(vv))(init, idx, vals)
-    out = jnp.where(jnp.isinf(out), 0.0, out)
+    def min_scatter(ix, vv):
+        # random scatter-min is descriptor-bound (~80M rows/s, 8.8 ms at
+        # 720k points); a 2-key sort groups points by pixel with the
+        # closest first, then ONE unique-index head scatter writes the
+        # per-pixel min (the fast sorted-run scatter path, ~3x cheaper)
+        ix_s, v_s = jax.lax.sort((ix, vv), num_keys=2)
+        head = jnp.concatenate(
+            [jnp.ones((1,), bool), ix_s[1:] != ix_s[:-1]])
+        tgt = jnp.where(head & (ix_s < npix), ix_s, npix)
+        return (jnp.zeros((npix + 1,), f32)
+                .at[tgt].set(v_s, mode="drop", unique_indices=True)[:npix])
+
+    out = jax.vmap(min_scatter)(idx, vals)
     return out.reshape(B, N, iH, iW, 1)
 
 

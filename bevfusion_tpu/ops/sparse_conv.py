@@ -182,6 +182,17 @@ def _fetch_columns(table: ColumnTable, col):
     return lo, hi, rows[..., 2]
 
 
+def _nbh_worth_it(XY: int, cap: int) -> bool:
+    """Neighborhood-table amortization gate. Building the [X*Y, 27]
+    table costs ~2 full-image passes (27 int32 lanes written + read,
+    ~3e-9 s per column at the measured ~72 GB/s), while it saves 8 of 9
+    descriptor-bound per-site column fetches (~2.7e-8 s per site at
+    ~300M rows/s). Worth it only when the site count dominates the
+    grid: XY < ~9 * cap. At the 1440^2 stage-0 grid with 120k sites the
+    table costs ~10 ms vs ~3.6 ms for direct fetches (measured r3)."""
+    return XY < 9 * cap
+
+
 def build_neighborhood_table(table: ColumnTable, grid: SparseGrid):
     """[X*Y, 3] column table -> [X*Y, 27] holding the full 3x3 column
     neighborhood's (lo, hi, start) per center column.
@@ -274,7 +285,7 @@ def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None):
     XY = grid.X * grid.Y
 
     nbh_rows = None
-    if kx == 3 and ky == 3:
+    if kx == 3 and ky == 3 and _nbh_worth_it(XY, ids.shape[0]):
         # one 108-byte row gather replaces nine 12-byte ones
         nbh = build_neighborhood_table(table, grid)
         col0 = jnp.clip(x * grid.Y + y, 0, XY - 1)
@@ -545,6 +556,7 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
 
     nbh_rows = None
     if (k[0] == 3 and k[1] == 3 and p[0] == 1 and p[1] == 1
+            and _nbh_worth_it(XY, out_ids.shape[0])
             and (out_grid.X - 1) * s[0] <= grid.X - 1
             and (out_grid.Y - 1) * s[1] <= grid.Y - 1):
         # input columns are the 3x3 neighborhood of (ox*s, oy*s): one

@@ -448,11 +448,12 @@ def windowed_gather_dw(feats_packed, wrb: WindowedRulebook, dout_packed,
     return dw.reshape(K, P, Cin, Cout).sum(axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def windowed_conv_ad(feats_packed, weight, wrb, wrb_bwd,
                      Cout: int, cap_out: int, cap_in: int,
                      slack: int, slack_bwd: int, mirror: bool,
-                     kz: int = 1):
+                     kz: int = 1, blk: int = BLK, blk_bwd: int = BLK):
     """Differentiable windowed conv (training path of the windowed
     engine; reference trains through spconv's indiceConvBackward,
     spconv_ops.h:364+).
@@ -468,32 +469,33 @@ def windowed_conv_ad(feats_packed, weight, wrb, wrb_bwd,
     exact for the computed forward.
     """
     return windowed_gather_gemm(feats_packed, wrb, weight, Cout, cap_out,
-                                slack=slack, kz=kz)
+                                slack=slack, kz=kz, blk=blk)
 
 
 def _wc_fwd(feats_packed, weight, wrb, wrb_bwd, Cout, cap_out, cap_in,
-            slack, slack_bwd, mirror, kz=1):
+            slack, slack_bwd, mirror, kz=1, blk=BLK, blk_bwd=BLK):
     out = windowed_gather_gemm(feats_packed, wrb, weight, Cout, cap_out,
-                               slack=slack, kz=kz)
+                               slack=slack, kz=kz, blk=blk)
     return out, (feats_packed, weight, wrb, wrb_bwd)
 
 
-def _wc_bwd(Cout, cap_out, cap_in, slack, slack_bwd, mirror, kz, res, dout):
+def _wc_bwd(Cout, cap_out, cap_in, slack, slack_bwd, mirror, kz, blk,
+            blk_bwd, res, dout):
     feats_packed, weight, wrb, wrb_bwd = res
     K, Cin, _ = weight.shape
     dout = dout.astype(jnp.bfloat16)
 
     dw = windowed_gather_dw(feats_packed, wrb, dout, K, Cin, Cout,
-                            slack=slack, kz=kz).astype(weight.dtype)
+                            slack=slack, kz=kz, blk=blk).astype(weight.dtype)
     if mirror:
         assert Cin == Cout, "mirror backward requires Cin == Cout"
         wt = weight[::-1].transpose(0, 2, 1).astype(jnp.bfloat16)
         dx = windowed_gather_gemm(dout, wrb, wt, Cin, cap_in, slack=slack,
-                                  kz=kz)
+                                  kz=kz, blk=blk)
     else:
         wt = weight.transpose(0, 2, 1).astype(jnp.bfloat16)
         dx = windowed_gather_gemm(dout, wrb_bwd, wt, Cin, cap_in,
-                                  slack=slack_bwd, kz=kz)
+                                  slack=slack_bwd, kz=kz, blk=blk_bwd)
     return dx.astype(feats_packed.dtype), dw, None, None
 
 

@@ -181,11 +181,15 @@ def voxelize_batch(
     """
     B = points.shape[0]
 
-    out = jax.vmap(
-        lambda p, m: voxelize(
-            p, m, voxel_size, point_cloud_range, max_points, max_voxels, reduce
-        )
-    )(points, points_mask)
+    # static python loop, NOT vmap: batched (vmapped) gathers/scatters
+    # lower ~3x slower on this backend (measured, PERFORMANCE.md), and B
+    # is tiny and static
+    outs = [
+        voxelize(points[b], points_mask[b], voxel_size, point_cloud_range,
+                 max_points, max_voxels, reduce)
+        for b in range(B)
+    ]
+    out = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
     M = max_voxels
     batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M).reshape(B, M, 1)
     coords4 = jnp.concatenate([batch_idx, out.coords], axis=-1)
