@@ -26,8 +26,12 @@ def main():
 
     from bevfusion_tpu.runtime.flagship import build_flagship
 
+    # pool_lut: the BEVPoolv2-style calibration LUT (ops/bev_pool_lut.py)
+    # is computed once on the host for the fixed camera rig — the same
+    # precompute the reference's own 25 FPS deployment baseline
+    # (CUDA-BEVFusion TensorRT, README.md:10,197) performs at build time
     cfg, model, batch = build_flagship(batch_size=1, dtype=jnp.bfloat16,
-                                       num_points=120000)
+                                       num_points=120000, pool_lut=True)
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(0), b, training=False)
     )(batch)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..registry import VTRANSFORMS
 from .layers import BasicBlock, Conv, ConvBNAct, Norm, resize_bilinear
-from .vtransforms import _BaseLSS, get_geometry, rasterize_depth
+from .vtransforms import _BaseLSS, rasterize_depth
 
 Dtype = Any
 
@@ -167,15 +167,10 @@ class AwareBEVDepth(_BaseLSS):
         depth = jax.nn.softmax(x[..., :D].astype(jnp.float32), axis=-1)
         ctx = x[..., D:]
 
-        geom = get_geometry(
-            jnp.asarray(frustum), mats["camera2lidar"],
-            mats["camera_intrinsics"][..., :3, :3],
-            mats["img_aug_matrix"], mats["lidar_aug_matrix"],
-        )
         bev = self.pool(
-            geom,
             depth.reshape(B, N, fH, fW, D).transpose(0, 1, 4, 2, 3),
             ctx.reshape(B, N, fH, fW, self.out_channels).astype(jnp.float32),
+            mats,
         ).astype(self.dtype)
         bev = self.downsample_block(bev, training)
 
@@ -225,15 +220,10 @@ class AwareDBEVDepth(AwareBEVDepth):
         depth = jax.nn.softmax(x[..., :D].astype(jnp.float32), axis=-1)
         ctx = x[..., D:]
 
-        geom = get_geometry(
-            jnp.asarray(frustum), mats["camera2lidar"],
-            mats["camera_intrinsics"][..., :3, :3],
-            mats["img_aug_matrix"], mats["lidar_aug_matrix"],
-        )
         bev = self.pool(
-            geom,
             depth.reshape(B, N, fH, fW, D).transpose(0, 1, 4, 2, 3),
             ctx.reshape(B, N, fH, fW, self.out_channels).astype(jnp.float32),
+            mats,
         ).astype(self.dtype)
         bev = self.downsample_block(bev, training)
 

@@ -41,6 +41,9 @@ MAT_KEYS = (
     "camera2lidar",
     "img_aug_matrix",
     "lidar_aug_matrix",
+    # optional precomputed pooling LUT (ops/bev_pool_lut.py): a dict of
+    # arrays the vtransform consumes instead of in-graph geometry+sort
+    "pool_lut",
 )
 
 

@@ -86,15 +86,24 @@ class PackedMaskedBatchNorm(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, packed, site_mask, training: bool = False):
-        """packed [B, capP, 128]; site_mask [B, cap] bool."""
+    def __call__(self, packed, site_mask, training: bool = False,
+                 fold: bool = False):
+        """packed [B, capP, 128]; site_mask [B, cap] bool.
+
+        fold=True (eval only): return the per-channel affine fold
+        (inv [C], sh [C]) f32 with y = x*inv + sh — consumed by the
+        windowed conv kernel's fused epilogue instead of a separate
+        elementwise pass (packed/site_mask are ignored)."""
         C = self.C
         P = wg.pack_factor(C)
-        B, capP, _ = packed.shape
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        if fold:
+            inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+            return inv, bias - ra_mean.value * inv
+        B, capP, _ = packed.shape
 
         m = jnp.repeat(site_mask.reshape(B, capP, P), C, axis=-1)  # [B, capP, 128]
         x4 = packed.reshape(B, capP, P, C).astype(jnp.float32)
@@ -147,11 +156,14 @@ class _WindowedConv(nn.Module):
     @nn.compact
     def __call__(self, packed, wrbs, cap_out: int, slack: int,
                  training: bool = False, wrbs_bwd=None, slack_bwd: int = 0,
-                 cap_in: int = 0, mirror: bool = True):
+                 cap_in: int = 0, mirror: bool = True,
+                 scale=None, shift=None, relu: bool = False, residual=None):
         """packed [B, capP_in, 128]; wrbs = per-sample WindowedRulebook
         (leaves stacked on axis 0). Returns [B, cap_out/P_out, 128].
         Training with mirror=False requires wrbs_bwd (transposed
-        rulebook over the output sites with Cout packing)."""
+        rulebook over the output sites with Cout packing).
+        scale/shift/relu/residual: eval-only fused epilogue
+        (folded BN affine + residual add + ReLU inside the kernel)."""
         lane_c = self.lane_channels or self.in_channels
         w = self.param(
             "weight",
@@ -178,7 +190,9 @@ class _WindowedConv(nn.Module):
             else:
                 outs.append(wg.windowed_gather_gemm(
                     packed[b], wrb, w, self.out_channels, cap_out,
-                    slack=slack, kz=self.kz, blk=self.blk))
+                    slack=slack, kz=self.kz, blk=self.blk,
+                    scale=scale, shift=shift, relu=relu,
+                    residual=None if residual is None else residual[b]))
         return jnp.stack(outs)
 
 
@@ -540,9 +554,14 @@ class SparseEncoder(nn.Module):
         def subm_wrb(ids_, g, C, tbl=None):
             if tbl is None:
                 tbl = bmap(lambda i: sp.build_column_table(i, g), ids_)
+            # 3-wide table rows: one 36-byte fetch serves a dx's whole
+            # y-triple (3 gathers/site instead of 9); shared between the
+            # subm rulebook and the stage's strided conv rulebook
+            tbl9 = bmap(lambda t: sp.build_column_table9(t, g), tbl)
             tables["cur"] = tbl
-            nbr = bmap(lambda i, t: sp.build_subm_rulebook(i, g, 3, table=t),
-                       ids_, tbl)
+            tables["cur9"] = tbl9
+            nbr = bmap(lambda i, t, t9: sp.build_subm_rulebook(
+                i, g, 3, table=t, table9=t9), ids_, tbl, tbl9)
             return bmap(lambda n: wg.build_windowed_rulebook(
                 n, C, slack=sslack, kz=3, blk=SUBM_BLK), nbr)
 
@@ -555,7 +574,7 @@ class SparseEncoder(nn.Module):
 
         def conv(name, packed_, wrbs, cin, cout, cap_out, K=27, lane_c=0,
                  slack_=None, wrbs_bwd=None, slack_bwd=0, cap_in=0,
-                 mirror=True, blk=SUBM_BLK, blk_bwd=wg.BLK):
+                 mirror=True, blk=SUBM_BLK, blk_bwd=wg.BLK, **epi):
             overflow.append(jnp.sum(wrbs.overflow))
             if wrbs_bwd is not None:
                 overflow.append(jnp.sum(wrbs_bwd.overflow))
@@ -564,24 +583,39 @@ class SparseEncoder(nn.Module):
                                  dtype=self.dtype, name=name)(
                 packed_, wrbs, cap_out, slack_ or sslack, training=training,
                 wrbs_bwd=wrbs_bwd, slack_bwd=slack_bwd, cap_in=cap_in,
-                mirror=mirror)
+                mirror=mirror, **epi)
 
-        def bn(name, packed_, mask_, cout):
+        def bn_mod(name, cout):
             cfg = self.norm_cfg or {}
             return PackedMaskedBatchNorm(
                 cout, eps=cfg.get("eps", 1e-3),
                 momentum=cfg.get("momentum", 0.01),
-                dtype=jnp.bfloat16, name=name)(packed_, mask_, training)
+                dtype=jnp.bfloat16, name=name)
+
+        def conv_bn(cname, bname, packed_, wrbs, cin, cout, cap_out,
+                    mask_, residual=None, relu_=True, **kw):
+            """conv + BN + (residual) + ReLU. Training: separate passes
+            (BN needs batch moments). Eval: BN folds into the conv
+            kernel's epilogue — one dispatch, no extra HBM pass."""
+            m = bn_mod(bname, cout)
+            if training:
+                y = conv(cname, packed_, wrbs, cin, cout, cap_out, **kw)
+                y = m(y, mask_, True)
+                if residual is not None:
+                    y = y + residual
+                return nn.relu(y) if relu_ else y
+            inv, sh = m(None, None, False, fold=True)
+            return conv(cname, packed_, wrbs, cin, cout, cap_out,
+                        scale=inv, shift=sh, relu=relu_,
+                        residual=residual, **kw)
 
         cap = M
         wrbs = subm_wrb(ids, grid, Cp0)
 
         # conv_input: subm k3 p1 + BN + ReLU (sparse_encoder.py:63-85);
         # weight param keeps the true Cin0 width (engine/ckpt parity)
-        packed = conv("conv_input", packed, wrbs, Cin0, self.base_channels,
-                      cap, lane_c=Cp0)
-        packed = bn("bn_input", packed, mask, self.base_channels)
-        packed = nn.relu(packed)
+        packed = conv_bn("conv_input", "bn_input", packed, wrbs, Cin0,
+                         self.base_channels, cap, mask, lane_c=Cp0)
 
         in_ch = self.base_channels
         n_stages = len(self.encoder_channels)
@@ -658,9 +692,10 @@ class SparseEncoder(nn.Module):
                         )(ids)
                         out_tbl = None
                     cnbr = _BM_(
-                        lambda oi, ii, t: sp.build_conv_rulebook(
-                            ii, oi, g_in, out_grid, 3, 2, padding, table=t)
-                    )(out_ids, ids, tables["cur"])
+                        lambda oi, ii, t, t9: sp.build_conv_rulebook(
+                            ii, oi, g_in, out_grid, 3, 2, padding, table=t,
+                            table9=t9)
+                    )(out_ids, ids, tables["cur"], tables["cur9"])
                     # a stride-2 conv's output block covers up to ~8x
                     # (stride^3) as many input sites in dense regions, so
                     # strided windows need 4x the subm slack (measured:
@@ -682,13 +717,12 @@ class SparseEncoder(nn.Module):
                                 n, out_ch, cap_in=cap_out, slack=2 * slack,
                                 kz=3)
                         )(nbr_t)
-                    packed = conv(f"{name}_spconv", packed, swrbs, in_ch,
-                                  out_ch, cap_out, slack_=4 * slack,
-                                  wrbs_bwd=twrbs, slack_bwd=2 * slack,
-                                  cap_in=cap, mirror=False, blk=SBLK)
+                    packed = conv_bn(f"{name}_spconv", f"{name}_bn", packed,
+                                     swrbs, in_ch, out_ch, cap_out, out_mask,
+                                     slack_=4 * slack, wrbs_bwd=twrbs,
+                                     slack_bwd=2 * slack, cap_in=cap,
+                                     mirror=False, blk=SBLK)
                     ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
-                    packed = bn(f"{name}_bn", packed, mask, out_ch)
-                    packed = nn.relu(packed)
                     wrbs = subm_wrb(ids, grid, out_ch, tbl=out_tbl)
                     n_down += 1
                 elif self.block_type == "basicblock" and dense_mode:
@@ -704,21 +738,19 @@ class SparseEncoder(nn.Module):
                     feats = jnp.where(dmask[..., None], feats, 0.0)
                 elif self.block_type == "basicblock":
                     identity = packed
-                    y = conv(f"{name}_conv1", packed, wrbs, in_ch, out_ch, cap)
-                    y = bn(f"{name}_bn1", y, mask, out_ch)
-                    y = nn.relu(y)
-                    y = conv(f"{name}_conv2", y, wrbs, out_ch, out_ch, cap)
-                    y = bn(f"{name}_bn2", y, mask, out_ch)
-                    packed = nn.relu(y + identity)
+                    y = conv_bn(f"{name}_conv1", f"{name}_bn1", packed, wrbs,
+                                in_ch, out_ch, cap, mask)
+                    packed = conv_bn(f"{name}_conv2", f"{name}_bn2", y, wrbs,
+                                     out_ch, out_ch, cap, mask,
+                                     residual=identity)
                 elif dense_mode:
                     y = _DenseConv3d(in_ch, out_ch, 3, 1, padding,
                                      dtype=self.dtype, name=f"{name}_conv")(feats)
                     y = self._bn(f"{name}_bn")(y, dmask, training)
                     feats = nn.relu(y)
                 else:
-                    y = conv(f"{name}_conv", packed, wrbs, in_ch, out_ch, cap)
-                    y = bn(f"{name}_bn", y, mask, out_ch)
-                    packed = nn.relu(y)
+                    packed = conv_bn(f"{name}_conv", f"{name}_bn", packed,
+                                     wrbs, in_ch, out_ch, cap, mask)
                 in_ch = out_ch
 
         # conv_out: SparseConv3d (1,1,3)/(1,1,2) (sparse_encoder.py:87-97)
@@ -766,13 +798,12 @@ class SparseEncoder(nn.Module):
                     n, self.output_channels, cap_in=cap, slack=2 * slack,
                     kz=3)
             )(nbr_t)
-        packed = conv("conv_out", packed, owrbs, in_ch, self.output_channels,
-                      cap, K=3, slack_=4 * slack, wrbs_bwd=otwrbs,
-                      slack_bwd=2 * slack, cap_in=cap, mirror=False,
-                      blk=SBLK)
+        packed = conv_bn("conv_out", "bn_out", packed, owrbs, in_ch,
+                         self.output_channels, cap, out_mask, K=3,
+                         slack_=4 * slack, wrbs_bwd=otwrbs,
+                         slack_bwd=2 * slack, cap_in=cap, mirror=False,
+                         blk=SBLK)
         ids, mask, grid = out_ids, out_mask, out_grid
-        packed = bn("bn_out", packed, mask, self.output_channels)
-        packed = nn.relu(packed)
 
         # window-overflow diagnostic: must stay 0 on real data (see
         # ops/sparse_conv_windowed.py); observable via capture_intermediates

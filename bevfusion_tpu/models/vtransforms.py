@@ -47,6 +47,11 @@ def get_geometry(frustum, camera2lidar, intrins, img_aug, lidar_aug):
     intrins [B, N, 3, 3]. Matches vtransforms/base.py:91-135. fp32.
     """
     f32 = jnp.float32
+    # TRUE f32 contractions: jax's DEFAULT matmul precision computes f32
+    # einsums at bf16 on TPU (and emulates that on CPU in jax 0.9) —
+    # measured up to 0.2 m of geometry error, i.e. voxel misassignment.
+    # The reference forces fp32 here (@force_fp32, vtransforms/base.py).
+    hi = jax.lax.Precision.HIGHEST
     frustum = frustum.astype(f32)
     post_rots = img_aug[..., :3, :3].astype(f32)
     post_trans = img_aug[..., :3, 3].astype(f32)
@@ -58,16 +63,17 @@ def get_geometry(frustum, camera2lidar, intrins, img_aug, lidar_aug):
     # undo image augmentation
     pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
     inv_post = jnp.linalg.inv(post_rots)
-    pts = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, pts)
+    pts = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, pts, precision=hi)
     # (u*d, v*d, d)
     pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], axis=-1)
     combine = jnp.einsum(
-        "bnij,bnjk->bnik", c2l_rots, jnp.linalg.inv(intrins.astype(f32))
+        "bnij,bnjk->bnik", c2l_rots, jnp.linalg.inv(intrins.astype(f32)),
+        precision=hi,
     )
-    pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts)
+    pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts, precision=hi)
     pts = pts + c2l_trans[:, :, None, None, None, :]
     # lidar-frame augmentation
-    pts = jnp.einsum("bij,bndhwj->bndhwi", extra_rots, pts)
+    pts = jnp.einsum("bij,bndhwj->bndhwi", extra_rots, pts, precision=hi)
     pts = pts + extra_trans[:, None, None, None, None, :]
     return pts
 
@@ -87,20 +93,22 @@ def rasterize_depth(points, points_mask, lidar2image, img_aug, lidar_aug, image_
     N = lidar2image.shape[1]
     xyz = points[..., :3].astype(f32)
 
+    hi = jax.lax.Precision.HIGHEST  # true f32 (see get_geometry)
     la_rot = lidar_aug[:, :3, :3].astype(f32)
     la_t = lidar_aug[:, :3, 3].astype(f32)
-    xyz = jnp.einsum("bij,bpj->bpi", jnp.linalg.inv(la_rot), xyz - la_t[:, None])
+    xyz = jnp.einsum("bij,bpj->bpi", jnp.linalg.inv(la_rot),
+                     xyz - la_t[:, None], precision=hi)
 
     l2i_r = lidar2image[..., :3, :3].astype(f32)
     l2i_t = lidar2image[..., :3, 3].astype(f32)
-    cam = jnp.einsum("bnij,bpj->bnpi", l2i_r, xyz) + l2i_t[:, :, None]
+    cam = jnp.einsum("bnij,bpj->bnpi", l2i_r, xyz, precision=hi) + l2i_t[:, :, None]
     dist = cam[..., 2]
     z = jnp.clip(cam[..., 2], 1e-5, 1e5)
     uvd = jnp.concatenate([cam[..., :2] / z[..., None], jnp.ones_like(z[..., None])], -1)
 
     ia_r = img_aug[..., :3, :3].astype(f32)
     ia_t = img_aug[..., :3, 3].astype(f32)
-    uv = jnp.einsum("bnij,bnpj->bnpi", ia_r, uvd) + ia_t[:, :, None]
+    uv = jnp.einsum("bnij,bnpj->bnpi", ia_r, uvd, precision=hi) + ia_t[:, :, None]
     # (row, col) = (v, u) like the reference's [1, 0] swap (base.py:303)
     r = uv[..., 1]
     c = uv[..., 0]
@@ -124,11 +132,19 @@ def rasterize_depth(points, points_mask, lidar2image, img_aug, lidar_aug, image_
         ix_s, v_s = jax.lax.sort((ix, vv), num_keys=2)
         head = jnp.concatenate(
             [jnp.ones((1,), bool), ix_s[1:] != ix_s[:-1]])
+        # sentinel index npix is OUT of bounds for the [npix] buffer, so
+        # mode="drop" genuinely discards every non-head/off-image row and
+        # the written indices really are unique (duplicate writes to an
+        # in-bounds sentinel slot would be undefined behavior for an XLA
+        # scatter that claims unique_indices)
         tgt = jnp.where(head & (ix_s < npix), ix_s, npix)
-        return (jnp.zeros((npix + 1,), f32)
-                .at[tgt].set(v_s, mode="drop", unique_indices=True)[:npix])
+        return (jnp.zeros((npix,), f32)
+                .at[tgt].set(v_s, mode="drop", unique_indices=True))
 
-    out = jax.vmap(min_scatter)(idx, vals)
+    # static python loop, NOT vmap: a batched (B=1) sort+scatter lowers
+    # ~3x slower on this backend (measured: the vmapped form cost
+    # ~21 ms/frame; unbatched ~6 ms — same lesson as the encoder's bmap)
+    out = jnp.stack([min_scatter(idx[b], vals[b]) for b in range(B)])
     return out.reshape(B, N, iH, iW, 1)
 
 
@@ -151,14 +167,47 @@ class _BaseLSS(nn.Module):
         frustum = create_frustum(self.image_size, self.feature_size, self.dbound)
         return dx, bx, nx, frustum, frustum.shape[0]
 
-    def pool(self, geom, depth, ctx):
-        """geom [B,N,D,fH,fW,3]; depth [B,N,D,fH,fW]; ctx [B,N,fH,fW,C]."""
-        dx, bx, nx, _, _ = self.setup_constants()
+    def pool(self, depth, ctx, mats):
+        """depth [B,N,D,fH,fW]; ctx [B,N,fH,fW,C].
+
+        When the batch carries a precomputed pooling LUT
+        (mats["pool_lut"], ops/bev_pool_lut.py — geometry depends only
+        on calibration+aug matrices), the whole geometry/sort/rank chain
+        is skipped; otherwise it is computed in-graph (training path and
+        LUT-less eval)."""
+        dx, bx, nx, frustum, _ = self.setup_constants()
+        X, Y, Z = int(nx[0]), int(nx[1]), int(nx[2])
+        lut = mats.get("pool_lut") if isinstance(mats, dict) else None
+        if lut is not None:
+            from ..ops.bev_pool_lut import lss_bev_pool_from_lut
+
+            return lss_bev_pool_from_lut(depth, ctx, lut, Z, X, Y)
+        geom = get_geometry(
+            jnp.asarray(frustum),
+            mats["camera2lidar"],
+            mats["camera_intrinsics"][..., :3, :3],
+            mats["img_aug_matrix"],
+            mats["lidar_aug_matrix"],
+        )
         ids, valid = cell_ids_from_geometry(
             geom, jnp.asarray(dx), jnp.asarray(bx), nx
         )
-        X, Y, Z = int(nx[0]), int(nx[1]), int(nx[2])
         return lss_bev_pool(depth, ctx, ids, valid, Z, X, Y)
+
+    def build_pool_lut(self, mats_np, batched: bool = True):
+        """Host-side LUT precompute for this transform's grid constants
+        (numpy; call once per calibration / per sample in the loader)."""
+        import numpy as _np
+
+        from ..ops.bev_pool_lut import build_pool_lut_np
+
+        dx, bx, nx, frustum, _ = self.setup_constants()
+        return build_pool_lut_np(
+            _np.asarray(frustum), _np.asarray(dx), _np.asarray(bx), nx,
+            _np.asarray(mats_np["camera2lidar"]),
+            _np.asarray(mats_np["camera_intrinsics"])[..., :3, :3],
+            _np.asarray(mats_np["img_aug_matrix"]),
+            _np.asarray(mats_np["lidar_aug_matrix"]))
 
     def downsample_block(self, x, training):
         if self.downsample <= 1:
@@ -193,14 +242,7 @@ class LSSTransform(_BaseLSS):
         depth = depth.reshape(B, N, fH, fW, D).transpose(0, 1, 4, 2, 3)
         ctx = ctx.reshape(B, N, fH, fW, self.out_channels)
 
-        geom = get_geometry(
-            jnp.asarray(frustum),
-            mats["camera2lidar"],
-            mats["camera_intrinsics"][..., :3, :3],
-            mats["img_aug_matrix"],
-            mats["lidar_aug_matrix"],
-        )
-        bev = self.pool(geom, depth, ctx.astype(jnp.float32))
+        bev = self.pool(depth, ctx.astype(jnp.float32), mats)
         bev = bev.astype(self.dtype)
         return self.downsample_block(bev, training)
 
@@ -244,13 +286,6 @@ class DepthLSSTransform(_BaseLSS):
         depth = depth.reshape(B, N, fH, fW, D).transpose(0, 1, 4, 2, 3)
         ctx = ctx.reshape(B, N, fH, fW, self.out_channels)
 
-        geom = get_geometry(
-            jnp.asarray(frustum),
-            mats["camera2lidar"],
-            mats["camera_intrinsics"][..., :3, :3],
-            mats["img_aug_matrix"],
-            mats["lidar_aug_matrix"],
-        )
-        bev = self.pool(geom, depth, ctx.astype(jnp.float32))
+        bev = self.pool(depth, ctx.astype(jnp.float32), mats)
         bev = bev.astype(self.dtype)
         return self.downsample_block(bev, training)

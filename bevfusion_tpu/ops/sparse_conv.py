@@ -182,50 +182,31 @@ def _fetch_columns(table: ColumnTable, col):
     return lo, hi, rows[..., 2]
 
 
-def _nbh_worth_it(XY: int, cap: int) -> bool:
-    """Neighborhood-table amortization gate. Building the [X*Y, 27]
-    table costs ~2 full-image passes (27 int32 lanes written + read,
-    ~3e-9 s per column at the measured ~72 GB/s), while it saves 8 of 9
-    descriptor-bound per-site column fetches (~2.7e-8 s per site at
-    ~300M rows/s). Worth it only when the site count dominates the
-    grid: XY < ~9 * cap. At the 1440^2 stage-0 grid with 120k sites the
-    table costs ~10 ms vs ~3.6 ms for direct fetches (measured r3)."""
-    return XY < 9 * cap
+def build_column_table9(table: ColumnTable, grid: SparseGrid):
+    """[X*Y, 9] int32: row c holds the (lo, hi, start) triples of
+    columns (x, y-1), (x, y), (x, y+1).
 
-
-def build_neighborhood_table(table: ColumnTable, grid: SparseGrid):
-    """[X*Y, 3] column table -> [X*Y, 27] holding the full 3x3 column
-    neighborhood's (lo, hi, start) per center column.
-
-    Rationale: rulebook construction is descriptor-bound — 9 separate
-    column gathers per site dominate build_subm_rulebook (measured
-    ~3.6 ms/stage at 120k sites, ~300M rows/s). The neighborhood rows
-    are built with NINE ELEMENTWISE 2D rolls (free bandwidth-wise) so
-    each site then needs ONE 108-byte row gather. Wrapped border
-    entries are torn off by the callers' coordinate-validity masks.
-    Lane n = ((dx+1)*3 + (dy+1)) * 3 + {lo, hi, start}.
-    """
+    Rulebook construction is descriptor-bound (~250M gathered rows/s):
+    9 column fetches per site dominate build_subm_rulebook /
+    build_conv_rulebook. One 36-byte row of this table serves all three
+    y-offsets of a dx, cutting the fetches to 3 per site, while the
+    build is three cheap minor-axis shifts (one [X*Y, 9] write, ~1 ms
+    at the 1440^2 stage-0 grid vs ~3 ms of saved descriptors there —
+    and the table is shared by every rulebook of the stage).
+    Wrapped border rows (y = 0 / Y-1 bleed into the neighboring x) are
+    torn off by the callers' coordinate-validity masks."""
     img = table.packed.reshape(grid.X, grid.Y, 3)
-    parts = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            # static pad+slice, NOT jnp.roll: roll lowers to a while
-            # loop on this backend (~0.5 ms per roll at 1440^2); the
-            # wrapped border rows a roll would produce are discarded by
-            # the callers' coordinate-validity masks anyway, so zero
-            # fill is equivalent.
-            sh = _shift_zeros(_shift_zeros(img, dx, 0), dy, 1)
-            parts.append(sh)
-    return jnp.concatenate(parts, axis=-1).reshape(grid.X * grid.Y, 27)
+    parts = [_shift_zeros(img, dy, 1) for dy in (-1, 0, 1)]
+    return jnp.concatenate(parts, axis=-1).reshape(grid.X * grid.Y, 9)
 
 
-def _fetch_neighborhood(nbh_rows, dx: int, dy: int):
-    """Extract (lo, hi, start) for neighborhood offset (dx, dy) from
-    pre-gathered [N, 27] rows (dx, dy in {-1, 0, 1})."""
-    n = ((dx + 1) * 3 + (dy + 1)) * 3
-    lo = jax.lax.bitcast_convert_type(nbh_rows[..., n], jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(nbh_rows[..., n + 1], jnp.uint32)
-    return lo, hi, nbh_rows[..., n + 2]
+def _fetch9(rows9, dy: int):
+    """(lo, hi, start) for y-offset dy in {-1, 0, 1} from pre-gathered
+    [N, 9] table9 rows."""
+    n = (dy + 1) * 3
+    lo = jax.lax.bitcast_convert_type(rows9[..., n], jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(rows9[..., n + 1], jnp.uint32)
+    return lo, hi, rows9[..., n + 2]
 
 
 def _rank_below(lo, hi, z):
@@ -264,18 +245,19 @@ def _lookup(ids, nx_, ny_, nz_, ok, grid: SparseGrid, table: ColumnTable = None)
     return jnp.where(present, row, -1).astype(jnp.int32)
 
 
-def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None):
+def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None,
+                        table9=None):
     """Neighbor gather table for submanifold conv.
 
     ids: [cap] sorted active-site ids (sentinel-padded). Returns
     nbr [cap, K] int32 indices into ids (-1 on miss), reused by every
     subm conv sharing the indice_key (spconv conv.py:152-179).
 
-    Offsets that share a (dx, dy) column reuse ONE 12-byte column fetch;
-    all kz neighbors of that column are resolved with popcount bit math.
-    For a 3^3 kernel this is 9 gathers/site instead of 27 searches.
-    ``table``: pass a prebuilt build_column_table(ids) to share it with
-    other rulebooks of the same site set (~6 ms/stage at 120k sites).
+    3x3xkz kernels fetch ONE 36-byte table9 row per dx (3 gathers/site
+    total, see build_column_table9); all kz neighbors of a column are
+    resolved with popcount bit math. ``table``/``table9``: prebuilt
+    lookup structures shared with other rulebooks of the same site set
+    (~6 ms/stage at 120k sites).
     """
     kx, ky, kz = _triple(kernel_size)
     px, py, pz = (kx - 1) // 2, (ky - 1) // 2, (kz - 1) // 2
@@ -284,21 +266,22 @@ def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None):
     valid = ids < grid.size
     XY = grid.X * grid.Y
 
-    nbh_rows = None
-    if kx == 3 and ky == 3 and _nbh_worth_it(XY, ids.shape[0]):
-        # one 108-byte row gather replaces nine 12-byte ones
-        nbh = build_neighborhood_table(table, grid)
-        col0 = jnp.clip(x * grid.Y + y, 0, XY - 1)
-        nbh_rows = jnp.take(nbh, col0, axis=0)  # [cap, 27]
+    if table9 is None and kx == 3 and ky == 3:
+        table9 = build_column_table9(table, grid)
 
     cols_k = []  # per (dx, dy): list of per-kz row columns
     for dx in range(kx):
+        nx_ = x + (dx - px)
+        okx = (nx_ >= 0) & (nx_ < grid.X) & valid
+        rows9 = None
+        if table9 is not None and ky == 3:
+            ctr = jnp.clip(nx_ * grid.Y + y, 0, XY - 1)
+            rows9 = jnp.take(table9, ctr, axis=0)  # [cap, 9]
         for dy in range(ky):
-            nx_ = x + (dx - px)
             ny_ = y + (dy - py)
-            okc = (nx_ >= 0) & (nx_ < grid.X) & (ny_ >= 0) & (ny_ < grid.Y) & valid
-            if nbh_rows is not None:
-                lo, hi, st = _fetch_neighborhood(nbh_rows, dx - px, dy - py)
+            okc = okx & (ny_ >= 0) & (ny_ < grid.Y)
+            if rows9 is not None:
+                lo, hi, st = _fetch9(rows9, dy - py)
             else:
                 col = jnp.clip(nx_ * grid.Y + ny_, 0, XY - 1)
                 lo, hi, st = _fetch_columns(table, col)
@@ -539,14 +522,16 @@ def downsample_sites(ids, grid: SparseGrid, kernel_size, stride, padding, cap_ou
 
 
 def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
-                        kernel_size, stride, padding, table=None):
+                        kernel_size, stride, padding, table=None,
+                        table9=None):
     """Gather table for a regular (strided) sparse conv.
 
     For output site o and offset k the unique input coord is
     o*s - p + off_k; returns nbr [cap_out, K] int32 into in_ids (-1 miss).
-    Shares one packed column fetch across the kz offsets of each
-    (kx, ky), like build_subm_rulebook. ``table``: optional prebuilt
-    build_column_table(in_ids).
+    ky == 3 kernels fetch ONE table9 row per dx (3 gathers/site, see
+    build_column_table9); kz offsets share the popcount bit math.
+    ``table``/``table9``: optional prebuilt lookup structures over
+    in_ids (shared with the stage's subm rulebook).
     """
     k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
     table = table if table is not None else build_column_table(in_ids, grid)
@@ -554,24 +539,23 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
     out_valid = out_ids < out_grid.size
     XY = grid.X * grid.Y
 
-    nbh_rows = None
-    if (k[0] == 3 and k[1] == 3 and p[0] == 1 and p[1] == 1
-            and _nbh_worth_it(XY, out_ids.shape[0])
-            and (out_grid.X - 1) * s[0] <= grid.X - 1
-            and (out_grid.Y - 1) * s[1] <= grid.Y - 1):
-        # input columns are the 3x3 neighborhood of (ox*s, oy*s): one
-        # wide row gather instead of nine (see build_neighborhood_table)
-        nbh = build_neighborhood_table(table, grid)
-        nbh_rows = jnp.take(nbh, ox * s[0] * grid.Y + oy * s[1], axis=0)
+    if table9 is None and k[0] == 3 and k[1] == 3:
+        table9 = build_column_table9(table, grid)
 
     cols_k = []
     for dx in range(k[0]):
+        ix = ox * s[0] - p[0] + dx
+        okx = (ix >= 0) & (ix < grid.X) & out_valid
+        rows9 = None
+        if table9 is not None and k[1] == 3:
+            iy0 = oy * s[1] - p[1] + 1  # center of the y triple
+            ctr = jnp.clip(ix * grid.Y + iy0, 0, XY - 1)
+            rows9 = jnp.take(table9, ctr, axis=0)
         for dy in range(k[1]):
-            ix = ox * s[0] - p[0] + dx
             iy = oy * s[1] - p[1] + dy
-            okc = (ix >= 0) & (ix < grid.X) & (iy >= 0) & (iy < grid.Y) & out_valid
-            if nbh_rows is not None:
-                lo, hi, st = _fetch_neighborhood(nbh_rows, dx - 1, dy - 1)
+            okc = okx & (iy >= 0) & (iy < grid.Y)
+            if rows9 is not None:
+                lo, hi, st = _fetch9(rows9, dy - 1)
             else:
                 col = jnp.clip(ix * grid.Y + iy, 0, XY - 1)
                 lo, hi, st = _fetch_columns(table, col)

@@ -164,8 +164,20 @@ def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
     return WindowedRulebook(s8, sel, overflow)
 
 
-def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
-            K, Cin, Cout, WP, P, Pout, blk, kz=1, ns=2):
+def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, *rest, K, Cin, Cout, WP, P,
+            Pout, blk, kz=1, ns=2, fuse_bn=False, relu=False,
+            residual=False):
+    # optional epilogue operands (BN affine fold + residual), in order:
+    # [scale (1, Cout) f32, shift (1, Cout) f32][, res (BLKPo, 128) bf16]
+    i = 0
+    scale_ref = shift_ref = res_ref = None
+    if fuse_bn:
+        scale_ref, shift_ref = rest[0], rest[1]
+        i = 2
+    if residual:
+        res_ref = rest[i]
+        i += 1
+    out_ref, win, a_scr, sems = rest[i:i + 4]
     b = pl.program_id(0)
     BLK = blk
     BLKPo = BLK // Pout
@@ -229,8 +241,15 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
         y = jnp.dot(a_scr[...], w_ref[...], preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)  # [BLK, Cout]
         yb = y.astype(jnp.bfloat16)
+        if fuse_bn:
+            # eval-time BN folded into the conv epilogue; the bf16
+            # round-trip above reproduces the unfused path bit-exactly
+            # (conv emits bf16, BN reads it back in f32)
+            yf = (yb.astype(jnp.float32) * scale_ref[...]
+                  + shift_ref[...])
+            yb = yf.astype(jnp.bfloat16)
         if Pout == 1:
-            out_ref[...] = yb
+            out2 = yb
         else:
             # repack: P_out static one-hot row-selects + lane concat
             rows = jax.lax.broadcasted_iota(jnp.int32, (BLKPo, BLK), 1)
@@ -242,18 +261,31 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, out_ref, win, a_scr, sems, *,
                     jnp.dot(S, yb, preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
                     .astype(jnp.bfloat16))
-            out_ref[...] = jnp.concatenate(pieces, axis=1)
+            out2 = jnp.concatenate(pieces, axis=1)
+        if residual:
+            out2 = out2 + res_ref[...]
+        if relu:
+            out2 = jnp.maximum(out2, jnp.bfloat16(0))
+        out_ref[...] = out2
 
 
 def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
                          Cout: int, cap_out: int, slack: int = SLACK,
                          blk: int = BLK, kz: int = 1,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         scale=None, shift=None, relu: bool = False,
+                         residual=None):
     """feats_packed [capP, 128] bf16; weight [K, Cin, Cout] -> packed
     output [cap_out/P_out, 128] bf16 (cap_out = un-padded output site
     count, a static int since jit flattens NamedTuple leaves). Drop-in
     accelerator for subm_gather_gemm (same contract via pack/unpack).
-    ``kz`` must match the builder's offsets-per-window grouping."""
+    ``kz`` must match the builder's offsets-per-window grouping.
+
+    Fused epilogue (eval path — saves one full elementwise pass plus a
+    dispatch per conv): ``scale``/``shift`` [Cout] f32 apply the folded
+    BatchNorm affine y*scale + shift to the conv output (with the same
+    bf16 round-trip as the unfused PackedMaskedBatchNorm); ``residual``
+    [cap_out/P_out, 128] bf16 packed rows are added before ``relu``."""
     K, Cin, Cout_w = weight.shape
     assert Cout_w == Cout
     P = pack_factor(Cin)
@@ -276,6 +308,27 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
     wmat = jnp.tile(weight.astype(jnp.bfloat16)[:, None], (1, P, 1, 1))
     wmat = wmat.reshape(KL, Cout)
 
+    fuse_bn = scale is not None
+    assert (shift is not None) == fuse_bn
+    extra_in, extra_specs = [], []
+    if fuse_bn:
+        extra_in += [scale.reshape(1, Cout).astype(jnp.float32),
+                     shift.reshape(1, Cout).astype(jnp.float32)]
+        extra_specs += [
+            pl.BlockSpec((1, Cout), lambda b, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    if residual is not None:
+        need = nblocks * BLKPo
+        if residual.shape[0] < need:
+            residual = jnp.pad(
+                residual, ((0, need - residual.shape[0]), (0, 0)))
+        extra_in.append(residual.astype(jnp.bfloat16))
+        extra_specs.append(pl.BlockSpec((BLKPo, 128), lambda b, m: (b, 0),
+                                        memory_space=pltpu.VMEM))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -285,7 +338,7 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((KL, Cout), lambda b, m: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((BLKPo, 128), lambda b, m: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -296,7 +349,9 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
     )
 
     kern = functools.partial(_kernel, K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
-                             Pout=Pout, blk=blk, kz=kz, ns=ns)
+                             Pout=Pout, blk=blk, kz=kz, ns=ns,
+                             fuse_bn=fuse_bn, relu=relu,
+                             residual=residual is not None)
 
     out = pl.pallas_call(
         kern,
@@ -306,7 +361,7 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(wrb.s8, wrb.sel, feats_packed, wmat)
+    )(wrb.s8, wrb.sel, feats_packed, wmat, *extra_in)
     return out[: cap_out // Pout]
 
 

@@ -177,11 +177,39 @@ def synthetic_batch(cfg, B: int = 1, num_points: int = 200000,
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def add_pool_lut(cfg, batch):
+    """Attach the calibration-LUT for the config's vtransform to an eval
+    batch (ops/bev_pool_lut.py — host numpy precompute; one per
+    calibration in deployment, computed in the data pipeline per
+    sample otherwise). No-op for configs without an LSS vtransform."""
+    vt = (cfg.model.get("encoders", {}).get("camera", {})
+          or {}).get("vtransform") or {}
+    if "xbound" not in vt:
+        return batch
+    from ..ops.bev_pool_lut import build_pool_lut_np
+    from ..ops.grid import create_frustum, gen_dx_bx
+
+    dx, bx, nx = gen_dx_bx(vt["xbound"], vt["ybound"], vt["zbound"])
+    frustum = create_frustum(tuple(vt["image_size"]),
+                             tuple(vt["feature_size"]), tuple(vt["dbound"]))
+    lut = build_pool_lut_np(
+        np.asarray(frustum), np.asarray(dx), np.asarray(bx), nx,
+        np.asarray(batch["camera2lidar"]),
+        np.asarray(batch["camera_intrinsics"])[..., :3, :3],
+        np.asarray(batch["img_aug_matrix"]),
+        np.asarray(batch["lidar_aug_matrix"]))
+    batch = dict(batch)
+    batch["pool_lut"] = {k: jnp.asarray(v) for k, v in lut.items()}
+    return batch
+
+
 def build_flagship(batch_size: int = 1, dtype=jnp.float32,
                    config_path: Optional[str] = None, training: bool = False,
-                   num_points: int = 200000):
+                   num_points: int = 200000, pool_lut: bool = False):
     cfg = load_config(config_path or FLAGSHIP_CONFIG)
     model = build_model(cfg.model, dtype=dtype)
     batch = synthetic_batch(cfg, B=batch_size, num_points=num_points,
                             training=training)
+    if pool_lut and not training:
+        batch = add_pool_lut(cfg, batch)
     return cfg, model, batch

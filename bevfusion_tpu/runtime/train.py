@@ -209,10 +209,21 @@ def make_train_step(model, tx) -> Callable:
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             losses, new_vars = model.apply(
-                variables, batch, training=True, mutable=["batch_stats"],
+                variables, batch, training=True,
+                mutable=["batch_stats", "intermediates"],
                 rngs=rngs,
             )
             total = sum(v for k, v in losses.items() if k.startswith("loss/"))
+            # windowed-engine overflow diagnostic: dropped neighbors
+            # silently zero conv contributions in fwd AND bwd
+            # (ops/sparse_conv_windowed.py); surface the count so the
+            # training loop can fail loudly (the reference's spconv never
+            # drops pairs, spconv_ops.h:28-258)
+            from .eval import _find_overflow
+            ovf = _find_overflow(new_vars.get("intermediates", {}))
+            losses = dict(losses)
+            if ovf is not None:
+                losses["diag/window_overflow"] = ovf.astype(jnp.float32)
             return total, (losses, new_vars["batch_stats"])
 
         (total, (losses, new_bs)), grads = jax.value_and_grad(

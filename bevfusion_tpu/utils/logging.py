@@ -33,6 +33,14 @@ class MetricLogger:
             return
         step = epoch * steps_per_epoch + it
         scal = {k: float(v) for k, v in logs.items()}
+        # hard guard: a windowed sparse-conv neighbor drop silently zeroes
+        # conv contributions in fwd AND bwd — corrupt training, fail loudly
+        # (raise SparseEncoder.window_slack / site caps instead)
+        if scal.get("diag/window_overflow", 0.0) > 0:
+            raise RuntimeError(
+                f"sparse-conv window overflow during training: "
+                f"{int(scal['diag/window_overflow'])} neighbors dropped "
+                "(increase SparseEncoder.window_slack or site_caps)")
         rec = {"epoch": epoch, "iter": it, "step": step,
                "time": round(time.time() - self._t0, 1), **scal}
         self._jsonl.write(json.dumps(rec) + "\n")

@@ -1,0 +1,99 @@
+"""Calibration-LUT pooling (ops/bev_pool_lut.py) vs the in-graph
+geometry route (ops/bev_pool.lss_bev_pool) — identical outputs.
+
+The LUT builder re-derives geometry/sort/rank on the host in numpy; the
+device path consumes it with one 2-op sort + gather + segment sum. Both
+must agree with the standard path bit-for-bit up to f32 reduction order.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevfusion_tpu.ops.bev_pool import cell_ids_from_geometry, lss_bev_pool
+from bevfusion_tpu.ops.bev_pool_lut import (build_pool_lut_np,
+                                            lss_bev_pool_from_lut)
+from bevfusion_tpu.ops.grid import create_frustum, gen_dx_bx
+from bevfusion_tpu.models.vtransforms import get_geometry
+from bevfusion_tpu.runtime.flagship import synthetic_calibration
+
+
+def _setup(B=1, N=3, fH=8, fW=12, C=16):
+    image_size = (64, 96)
+    xb, yb, zb = (-20.0, 20.0, 0.5), (-20.0, 20.0, 0.5), (-10.0, 10.0, 20.0)
+    db = (1.0, 20.0, 1.0)
+    dx, bx, nx = gen_dx_bx(xb, yb, zb)
+    frustum = create_frustum(image_size, (fH, fW), db)
+    D = frustum.shape[0]
+    mats = {k: jnp.asarray(v)
+            for k, v in synthetic_calibration(B, N, image_size, seed=3).items()}
+    rng = np.random.RandomState(0)
+    depth = jax.nn.softmax(jnp.asarray(
+        rng.rand(B, N, D, fH, fW).astype(np.float32)), axis=2)
+    ctx = jnp.asarray(rng.rand(B, N, fH, fW, C).astype(np.float32))
+    return frustum, dx, bx, nx, mats, depth, ctx
+
+
+def test_lut_pool_matches_in_graph_pool():
+    frustum, dx, bx, nx, mats, depth, ctx = _setup()
+    X, Y, Z = int(nx[0]), int(nx[1]), int(nx[2])
+
+    geom = get_geometry(jnp.asarray(frustum), mats["camera2lidar"],
+                        mats["camera_intrinsics"][..., :3, :3],
+                        mats["img_aug_matrix"], mats["lidar_aug_matrix"])
+    ids, valid = cell_ids_from_geometry(geom, jnp.asarray(dx),
+                                        jnp.asarray(bx), nx)
+    want = lss_bev_pool(depth, ctx, ids, valid, Z, X, Y)
+
+    lut = build_pool_lut_np(
+        np.asarray(frustum), np.asarray(dx), np.asarray(bx), nx,
+        np.asarray(mats["camera2lidar"]),
+        np.asarray(mats["camera_intrinsics"])[..., :3, :3],
+        np.asarray(mats["img_aug_matrix"]),
+        np.asarray(mats["lidar_aug_matrix"]))
+    got = lss_bev_pool_from_lut(depth, ctx,
+                                {k: jnp.asarray(v) for k, v in lut.items()},
+                                Z, X, Y)
+    assert got.shape == want.shape
+    # bf16 context rows in the LUT path vs f32 in the oracle; a handful
+    # of frustum points sit bit-exactly on cell boundaries where host
+    # and device f32 rounding can quantize to adjacent cells (the
+    # synthetic rig is axis-aligned; real rigs don't hit boundaries) —
+    # allow <0.5% of elements to differ from such cell flips
+    g, w = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    bad = np.abs(g - w) > (2e-2 + 2e-2 * np.abs(w))
+    assert bad.mean() < 5e-3, bad.mean()
+    # coverage: a nontrivial fraction of cells is actually hit
+    assert float(jnp.mean((jnp.abs(want) > 0).astype(jnp.float32))) > 0.05
+
+
+def test_lut_geometry_matches_device_geometry():
+    """The numpy geometry mirror must quantize to the same cells as the
+    jax get_geometry chain (fp64 host vs fp32 device: both land on the
+    same cell away from boundaries; allow a tiny disagreement rate)."""
+    frustum, dx, bx, nx, mats, _, _ = _setup()
+    X, Y, Z = int(nx[0]), int(nx[1]), int(nx[2])
+    num_cells = Z * X * Y
+
+    geom = get_geometry(jnp.asarray(frustum), mats["camera2lidar"],
+                        mats["camera_intrinsics"][..., :3, :3],
+                        mats["img_aug_matrix"], mats["lidar_aug_matrix"])
+    ids, valid = cell_ids_from_geometry(geom, jnp.asarray(dx),
+                                        jnp.asarray(bx), nx)
+    ids_dev = np.where(np.asarray(valid[0]), np.asarray(ids[0]), num_cells)
+
+    from bevfusion_tpu.ops.bev_pool_lut import _get_geometry_np
+    g_np = _get_geometry_np(
+        np.asarray(frustum), np.asarray(mats["camera2lidar"])[0],
+        np.asarray(mats["camera_intrinsics"])[0, :, :3, :3],
+        np.asarray(mats["img_aug_matrix"])[0],
+        np.asarray(mats["lidar_aug_matrix"])[0])
+    c = np.floor((g_np - (np.asarray(bx) - np.asarray(dx) / 2.0))
+                 / np.asarray(dx)).astype(np.int64)
+    ok = ((c >= 0).all(-1) & (c[..., 0] < X) & (c[..., 1] < Y)
+          & (c[..., 2] < Z))
+    ids_np = np.where(ok, (c[..., 2] * X + c[..., 0]) * Y + c[..., 1],
+                      num_cells)
+    agree = (ids_np == ids_dev).mean()
+    # host numpy f32 vs XLA f32: different op orderings can flip cells
+    # for boundary-exact points of the axis-aligned synthetic rig
+    assert agree > 0.995, agree

@@ -100,15 +100,18 @@ def test_packed_masked_batchnorm_matches_unpacked():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
-@pytest.mark.parametrize("cin,cout", [
+@pytest.mark.parametrize("cin,cout,blk", [
     # fast tier: packed (P=8) and mixed-width cases cover the kernel's
-    # two layout regimes; the remaining widths are compile-bound
-    # duplicates of the same code paths -> slow tier (run with -m slow)
-    (16, 16), (16, 32),
-    pytest.param(64, 64, marks=pytest.mark.slow),
-    pytest.param(128, 128, marks=pytest.mark.slow),
+    # two layout regimes, at both the default 512-site block and the
+    # 128-site block the encoder uses for strided convs; the remaining
+    # widths are compile-bound duplicates of the same code paths ->
+    # slow tier (run with -m slow)
+    (16, 16, wg.BLK), (16, 32, wg.BLK), (16, 16, 128),
+    pytest.param(64, 64, wg.BLK, marks=pytest.mark.slow),
+    pytest.param(64, 64, 128, marks=pytest.mark.slow),
+    pytest.param(128, 128, wg.BLK, marks=pytest.mark.slow),
 ])
-def test_windowed_kernel_matches_oracle(cin, cout):
+def test_windowed_kernel_matches_oracle(cin, cout, blk):
     grid = sp.SparseGrid(64, 64, 16)
     ids = _sites(3000, grid, seed=cin + cout)
     cap = ids.shape[0]
@@ -118,17 +121,24 @@ def test_windowed_kernel_matches_oracle(cin, cout):
     w = jnp.asarray((rng.rand(27, cin, cout) * 0.2).astype(np.float32)).astype(jnp.bfloat16)
 
     want = sp.subm_gather_gemm(feats, nbr, w)
-    wrb = wg.build_windowed_rulebook(nbr, cin)
+    slack = 4 if blk < wg.BLK else wg.SLACK  # small blocks need the
+    # same absolute window span (slack * blk) to stay overflow-free
+    wrb = wg.build_windowed_rulebook(nbr, cin, blk=blk, slack=slack)
     assert int(wrb.overflow) == 0
     got = wg.unpack_sites(
-        wg.windowed_gather_gemm(wg.pack_sites(feats, cin), wrb, w, cout, cap),
+        wg.windowed_gather_gemm(wg.pack_sites(feats, cin), wrb, w, cout, cap,
+                                blk=blk, slack=slack),
         cout)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), rtol=0, atol=1e-2)
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
-def test_windowed_strided_conv_matches_oracle():
+@pytest.mark.parametrize("blk", [
+    128,  # the encoder's strided-conv block size (SBLK)
+    pytest.param(wg.BLK, marks=pytest.mark.slow),
+])
+def test_windowed_strided_conv_matches_oracle(blk):
     grid = sp.SparseGrid(64, 64, 16)
     ids = _sites(3000, grid, seed=7)
     cap = ids.shape[0]
@@ -141,13 +151,45 @@ def test_windowed_strided_conv_matches_oracle():
     w = jnp.asarray((rng.rand(27, 16, 32) * 0.2).astype(np.float32)).astype(jnp.bfloat16)
 
     want = sp.subm_gather_gemm(feats, cnbr, w)
-    wrb = wg.build_windowed_rulebook(cnbr, 16, cap_in=cap)
+    slack = 4 * wg.SLACK if blk < wg.BLK else wg.SLACK
+    wrb = wg.build_windowed_rulebook(cnbr, 16, cap_in=cap, blk=blk,
+                                     slack=slack)
     assert int(wrb.overflow) == 0
     got = wg.unpack_sites(
-        wg.windowed_gather_gemm(wg.pack_sites(feats, 16), wrb, w, 32, cap_out),
+        wg.windowed_gather_gemm(wg.pack_sites(feats, 16), wrb, w, 32, cap_out,
+                                blk=blk, slack=slack),
         32)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), rtol=0, atol=1e-2)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
+@pytest.mark.parametrize("cin,cout", [(16, 16), (16, 32)])
+def test_windowed_fused_epilogue_matches_unfused(cin, cout):
+    """scale/shift/residual/relu epilogue == conv -> folded-BN affine
+    (with the bf16 round-trip) -> +residual -> relu composed in XLA."""
+    grid = sp.SparseGrid(64, 64, 16)
+    ids = _sites(3000, grid, seed=3)
+    cap = ids.shape[0]
+    rng = np.random.RandomState(4)
+    nbr = sp.build_subm_rulebook(ids, grid, 3)
+    feats = jnp.asarray(rng.rand(cap, cin).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.rand(27, cin, cout) * 0.2).astype(np.float32)).astype(jnp.bfloat16)
+    scale = jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5)
+    shift = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    Pout = wg.pack_factor(cout)
+    res = jnp.asarray(rng.randn(cap // Pout, 128).astype(np.float32)).astype(jnp.bfloat16)
+
+    wrb = wg.build_windowed_rulebook(nbr, cin)
+    base = wg.windowed_gather_gemm(wg.pack_sites(feats, cin), wrb, w, cout, cap)
+    want = (base.astype(jnp.float32)
+            * jnp.tile(scale, Pout) + jnp.tile(shift, Pout)).astype(jnp.bfloat16)
+    want = jnp.maximum(want + res, 0)
+    got = wg.windowed_gather_gemm(wg.pack_sites(feats, cin), wrb, w, cout, cap,
+                                  scale=scale, shift=shift, relu=True,
+                                  residual=res)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), rtol=0, atol=2e-2)
 
 
 @pytest.mark.slow
@@ -263,7 +305,11 @@ def test_windowed_vjp_strided_matches_oracle_grads():
 
     want_df, want_dw = jax.grad(loss_oracle, argnums=(0, 1))(feats, w)
 
-    swrb = wg.build_windowed_rulebook(cnbr, cin, cap_in=cap, slack=4 * wg.SLACK)
+    # mismatched fwd/bwd block sizes, exactly as the encoder runs its
+    # strided convs (fwd blk=128 small blocks, bwd default 512)
+    SBLK = 128
+    swrb = wg.build_windowed_rulebook(cnbr, cin, cap_in=cap,
+                                      slack=4 * wg.SLACK, blk=SBLK, kz=1)
     assert int(swrb.overflow) == 0
     nbr_t = sp.build_conv_transpose_rulebook(ids, out_ids, grid, og, 3, 2, 1)
     twrb = wg.build_windowed_rulebook(nbr_t, cout, cap_in=cap_out,
@@ -273,7 +319,8 @@ def test_windowed_vjp_strided_matches_oracle_grads():
     def loss_win(f, w_):
         y = wg.windowed_conv_ad(
             wg.pack_sites(f.astype(jnp.bfloat16), cin), w_.astype(jnp.bfloat16),
-            swrb, twrb, cout, cap_out, cap, 4 * wg.SLACK, 2 * wg.SLACK, False)
+            swrb, twrb, cout, cap_out, cap, 4 * wg.SLACK, 2 * wg.SLACK, False,
+            1, SBLK, wg.BLK)
         y = wg.unpack_sites(y, cout)
         return jnp.sum(y.astype(jnp.float32) * gout)
 

@@ -30,11 +30,20 @@ def main():
     from bevfusion_tpu.models import build_model
     from bevfusion_tpu.runtime.checkpoint import restore_checkpoint
 
+    # multi-host rendezvous (the reference's torchpack dist.init,
+    # tools/test.py:115); single-process runs skip it
+    if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1):
+        jax.distributed.initialize()
+    rank, world = jax.process_index(), jax.process_count()
+
     cfg = load_config(args.config)
     model = build_model(cfg.model)
     dataset = build_dataset(cfg.data.test)
+    # round-robin dataset shard per process (multi_gpu_test semantics,
+    # reference tools/test.py:198-203)
     loader = DataLoader(dataset, batch_size=1, shuffle=False, num_workers=2,
-                        drop_last=False)
+                        drop_last=False, num_shards=world, shard_id=rank)
 
     state = restore_checkpoint(args.checkpoint)
     variables = {
@@ -46,7 +55,11 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     metrics = evaluate_dataset(model, variables, dataset, loader,
-                               metric=args.eval, out_dir=args.out_dir)
+                               metric=args.eval, out_dir=args.out_dir,
+                               rank=rank, world=world,
+                               tmpdir=os.path.join(args.out_dir, "parts"))
+    if metrics is None:  # non-zero ranks: rank 0 evaluates and reports
+        return
     for k, v in metrics.items():
         print(f"{k}: {v:.4f}")
 

@@ -129,8 +129,12 @@ def main():
         from bevfusion_tpu.runtime.eval import evaluate_dataset
 
         val_dataset = build_dataset(cfg.data.val)
+        # per-process round-robin shard; rank 0 merges via tmpdir pickles
+        # (the reference's DistEvalHook -> multi_gpu_test path)
         val_loader = DataLoader(val_dataset, batch_size=1, shuffle=False,
-                                num_workers=2, drop_last=False)
+                                num_workers=2, drop_last=False,
+                                num_shards=jax.process_count(),
+                                shard_id=jax.process_index())
     best_score, best_key = None, eval_cfg.get("save_best", "mAP")
 
     for epoch in range(start_epoch, max_epochs):
@@ -151,7 +155,11 @@ def main():
             metrics = evaluate_dataset(
                 model, variables, val_dataset, val_loader,
                 metric=eval_cfg.get("metric", "bbox"),
-                out_dir=os.path.join(run_dir, f"eval_epoch_{epoch + 1}"))
+                out_dir=os.path.join(run_dir, f"eval_epoch_{epoch + 1}"),
+                rank=jax.process_index(), world=jax.process_count(),
+                tmpdir=os.path.join(run_dir, f"eval_epoch_{epoch + 1}", "parts"))
+            if metrics is None:  # non-zero ranks
+                continue
             logger.log_eval(epoch, metrics)
             score = metrics.get(best_key)
             if score is not None and (best_score is None or score > best_score):
