@@ -28,6 +28,13 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     for k in _BATCH_KEYS:
         if k in samples[0]:
             batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+    if "pool_lut" in samples[0]:
+        # per-sample calibration LUT (ops/bev_pool_lut.py): a dict of
+        # arrays, stacked per leaf (builders emit a leading axis of 1)
+        keys = samples[0]["pool_lut"].keys()
+        batch["pool_lut"] = {
+            k: np.concatenate([np.asarray(s["pool_lut"][k]) for s in samples])
+            for k in keys}
     metas = [s.get("metas") for s in samples]
     if any(m is not None for m in metas):
         batch["metas"] = metas

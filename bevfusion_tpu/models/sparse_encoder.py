@@ -556,12 +556,21 @@ class SparseEncoder(nn.Module):
                 tbl = bmap(lambda i: sp.build_column_table(i, g), ids_)
             # 3-wide table rows: one 36-byte fetch serves a dx's whole
             # y-triple (3 gathers/site instead of 9); shared between the
-            # subm rulebook and the stage's strided conv rulebook
-            tbl9 = bmap(lambda t: sp.build_column_table9(t, g), tbl)
+            # subm rulebook and the stage's strided conv rulebook. The
+            # build is ~3 full-image passes — NOT worth it on the huge
+            # stage-0 grid (sp.t9_worth_it; the 2 consumers here relax
+            # the single-consumer gate by 2x).
+            cap_ = jax.tree_util.tree_leaves(ids_)[0].shape[-1]
+            if sp.t9_worth_it(g.X * g.Y, 2 * cap_):
+                tbl9 = bmap(lambda t: sp.build_column_table9(t, g), tbl)
+            else:
+                tbl9 = None
             tables["cur"] = tbl
             tables["cur9"] = tbl9
-            nbr = bmap(lambda i, t, t9: sp.build_subm_rulebook(
-                i, g, 3, table=t, table9=t9), ids_, tbl, tbl9)
+            nbr = bmap(lambda i, t: sp.build_subm_rulebook(
+                i, g, 3, table=t, table9=None), ids_, tbl) if tbl9 is None \
+                else bmap(lambda i, t, t9: sp.build_subm_rulebook(
+                    i, g, 3, table=t, table9=t9), ids_, tbl, tbl9)
             return bmap(lambda n: wg.build_windowed_rulebook(
                 n, C, slack=sslack, kz=3, blk=SUBM_BLK), nbr)
 

@@ -209,6 +209,17 @@ def _fetch9(rows9, dy: int):
     return lo, hi, rows9[..., n + 2]
 
 
+def t9_worth_it(XY: int, cap: int) -> bool:
+    """table9 amortization gate: the build is ~3 full-image passes of a
+    9-lane int32 image (~1.5e-9 s/column at the measured effective
+    bandwidth) while it saves 6 of 9 descriptor-bound per-site fetches
+    (~2.4e-8 s/site at ~250M rows/s). At the 1440^2 stage-0 grid with
+    120k sites the build costs MORE than it saves — gate on
+    XY < ~16 * cap. Callers sharing one table9 across several rulebooks
+    (the encoder) amortize further, so they may pass their own."""
+    return XY < 16 * cap
+
+
 def _rank_below(lo, hi, z):
     """Number of set bits strictly below z in a (lo, hi) column mask."""
     zlo = jnp.clip(z, 0, 31).astype(jnp.uint32)  # safe shift amounts
@@ -266,7 +277,7 @@ def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None,
     valid = ids < grid.size
     XY = grid.X * grid.Y
 
-    if table9 is None and kx == 3 and ky == 3:
+    if table9 is None and kx == 3 and ky == 3 and t9_worth_it(XY, ids.shape[0]):
         table9 = build_column_table9(table, grid)
 
     cols_k = []  # per (dx, dy): list of per-kz row columns
@@ -539,7 +550,8 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
     out_valid = out_ids < out_grid.size
     XY = grid.X * grid.Y
 
-    if table9 is None and k[0] == 3 and k[1] == 3:
+    if (table9 is None and k[0] == 3 and k[1] == 3
+            and t9_worth_it(XY, out_ids.shape[0])):
         table9 = build_column_table9(table, grid)
 
     cols_k = []

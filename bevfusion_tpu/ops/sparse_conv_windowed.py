@@ -269,12 +269,116 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, *rest, K, Cin, Cout, WP, P,
         out_ref[...] = out2
 
 
+def _kernel_sq(s8_ref, sel_ref, fp_hbm, w3_ref, *rest, K, Cin, Cout, WP, P,
+               Pout, blk, kz=1, ns=2, fuse_bn=False, relu=False,
+               residual=False):
+    """Square-conv (Cin == Cout) fast path: the weight is folded into
+    the WINDOW once per (block, group) — winproj = win @ W3 places every
+    packed slot's W_k-transform in its own Cout-lane slot group — so the
+    per-offset one-hot matmul directly yields slot-masked conv OUTPUTS.
+    The [BLK, K*128] A-matrix, its VMEM traffic, and the [K*128, Cout]
+    final GEMM all disappear: ~284M vs ~453M MACs per 512-site block.
+
+    Numerics: winproj rounds each offset's partial W-contraction to
+    bf16 before the cross-offset f32 accumulation (one extra bf16
+    rounding vs the A-matrix path — training-grade; engine-parity
+    tolerances account for it)."""
+    i = 0
+    scale_ref = shift_ref = res_ref = None
+    if fuse_bn:
+        scale_ref, shift_ref = rest[0], rest[1]
+        i = 2
+    if residual:
+        res_ref = rest[i]
+        i += 1
+    out_ref, win, sems = rest[i:i + 3]
+    b = pl.program_id(0)
+    BLK = blk
+    BLKPo = BLK // Pout
+    G = K // kz
+
+    def dma(g, slot):
+        start = pl.multiple_of(s8_ref[b, g], 8)
+        return pltpu.make_async_copy(
+            fp_hbm.at[pl.ds(start, WP)], win.at[slot], sems.at[slot]
+        )
+
+    act = s8_ref[b, G]
+
+    @pl.when(act == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(act > 0)
+    def _():
+        for t in range(min(ns - 1, G)):
+            dma(t, t % ns).start()
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WP), 1)
+
+        y128 = jnp.zeros((BLK, 128), jnp.float32)  # slot-space accumulator
+        for g in range(G):
+            if g + ns - 1 < G:
+                dma(g + ns - 1, (g + ns - 1) % ns).start()
+            dma(g, g % ns).wait()
+            # fold W into the window: [WP, 128] @ [128, kz*128]
+            wp = jnp.dot(win[g % ns],
+                         w3_ref[g * 128:(g + 1) * 128, :],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT
+                         ).astype(jnp.bfloat16)
+            for dz in range(kz):
+                v = sel_ref[0, :, g * kz + dz]  # [BLK] int32
+                relp = v // 256 - 1
+                lane = (v % 256)[:, None]
+                oh = (rows_iota == relp[:, None]).astype(jnp.bfloat16)
+                H = jnp.dot(oh, wp[:, dz * 128:(dz + 1) * 128],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                msk = (lane_iota >= lane) & (lane_iota < lane + Cin)
+                y128 = y128 + jnp.where(msk, H, 0.0)
+
+        # fold the P slot groups: lanes p*Cout + c -> c (exactly one
+        # group is nonzero per site); a static one-hot matmul keeps the
+        # reduce in MXU-friendly form (lane-space reshape-reduces lower
+        # poorly in Mosaic)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (128, Cout), 0)
+        col_r = jax.lax.broadcasted_iota(jnp.int32, (128, Cout), 1)
+        S = (lane_r % Cout == col_r).astype(jnp.bfloat16)
+        y = jnp.dot(y128.astype(jnp.bfloat16), S,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)  # [BLK, Cout]
+        yb = y.astype(jnp.bfloat16)
+        if fuse_bn:
+            yf = (yb.astype(jnp.float32) * scale_ref[...]
+                  + shift_ref[...])
+            yb = yf.astype(jnp.bfloat16)
+        if Pout == 1:
+            out2 = yb
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (BLKPo, BLK), 1)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (BLKPo, BLK), 0)
+            pieces = []
+            for p in range(Pout):
+                Sp = (rows == sub * Pout + p).astype(jnp.bfloat16)
+                pieces.append(
+                    jnp.dot(Sp, yb, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                    .astype(jnp.bfloat16))
+            out2 = jnp.concatenate(pieces, axis=1)
+        if residual:
+            out2 = out2 + res_ref[...]
+        if relu:
+            out2 = jnp.maximum(out2, jnp.bfloat16(0))
+        out_ref[...] = out2
+
+
 def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
                          Cout: int, cap_out: int, slack: int = SLACK,
                          blk: int = BLK, kz: int = 1,
                          interpret: bool = False,
                          scale=None, shift=None, relu: bool = False,
-                         residual=None):
+                         residual=None, winproj: bool = True):
     """feats_packed [capP, 128] bf16; weight [K, Cin, Cout] -> packed
     output [cap_out/P_out, 128] bf16 (cap_out = un-padded output site
     count, a static int since jit flattens NamedTuple leaves). Drop-in
@@ -299,14 +403,27 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
         feats_packed = jnp.pad(
             feats_packed, ((0, WP - feats_packed.shape[0]), (0, 0)))
 
-    # P-replicated weight: A holds each gathered neighbor's C channels
-    # at packed-slot offset p*Cin within its 128-lane group (other slots
-    # masked to zero in-kernel), so W2[k*128 + p*Cin + c, :] = W[k, c, :]
-    # for every p makes A @ W2 the exact conv contraction.
     KL = K * 128
     ns = _ring_slots(K // kz, WP)
-    wmat = jnp.tile(weight.astype(jnp.bfloat16)[:, None], (1, P, 1, 1))
-    wmat = wmat.reshape(KL, Cout)
+    G = K // kz
+    sq = winproj and Cin == Cout and not interpret
+    if sq:
+        # winproj weight (see _kernel_sq): W3[g, p*Cin + c',
+        # dz*128 + p*Cout + c] = W[g*kz + dz, c', c] — a block-diagonal
+        # per-slot replica so win @ W3 transforms every packed slot in
+        # place ([G*128, kz*128] bf16, <1 MB in VMEM)
+        wb = weight.astype(jnp.bfloat16).reshape(G, kz, Cin, Cout)
+        eye = jnp.eye(P, dtype=jnp.bfloat16)
+        wmat = jnp.einsum("pq,gdij->gpidqj", eye, wb).reshape(
+            G * P * Cin, kz * P * Cout)
+    else:
+        # P-replicated weight: A holds each gathered neighbor's C
+        # channels at packed-slot offset p*Cin within its 128-lane group
+        # (other slots masked to zero in-kernel), so
+        # W2[k*128 + p*Cin + c, :] = W[k, c, :] for every p makes A @ W2
+        # the exact conv contraction.
+        wmat = jnp.tile(weight.astype(jnp.bfloat16)[:, None], (1, P, 1, 1))
+        wmat = wmat.reshape(KL, Cout)
 
     fuse_bn = scale is not None
     assert (shift is not None) == fuse_bn
@@ -329,6 +446,13 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
         extra_specs.append(pl.BlockSpec((BLKPo, 128), lambda b, m: (b, 0),
                                         memory_space=pltpu.VMEM))
 
+    w_spec = pl.BlockSpec(tuple(wmat.shape), lambda b, m: (0, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((ns, WP, 128), jnp.bfloat16)]
+    if not sq:
+        scratch.append(pltpu.VMEM((blk, KL), jnp.bfloat16))
+    scratch.append(pltpu.SemaphoreType.DMA((ns,)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -336,19 +460,15 @@ def windowed_gather_gemm(feats_packed, wrb: WindowedRulebook, weight,
             pl.BlockSpec((1, blk, wrb.sel.shape[2]), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((KL, Cout), lambda b, m: (0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
         ] + extra_specs,
         out_specs=pl.BlockSpec((BLKPo, 128), lambda b, m: (b, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((ns, WP, 128), jnp.bfloat16),
-            pltpu.VMEM((blk, KL), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((ns,)),
-        ],
+        scratch_shapes=scratch,
     )
 
-    kern = functools.partial(_kernel, K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
+    kern = functools.partial(_kernel_sq if sq else _kernel,
+                             K=K, Cin=Cin, Cout=Cout, WP=WP, P=P,
                              Pout=Pout, blk=blk, kz=kz, ns=ns,
                              fuse_bn=fuse_bn, relu=relu,
                              residual=residual is not None)

@@ -224,7 +224,8 @@ def make_train_step(model, tx) -> Callable:
             losses = dict(losses)
             if ovf is not None:
                 losses["diag/window_overflow"] = ovf.astype(jnp.float32)
-            return total, (losses, new_vars["batch_stats"])
+            return total, (losses, new_vars.get("batch_stats",
+                                                state.batch_stats))
 
         (total, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

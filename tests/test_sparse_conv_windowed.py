@@ -129,8 +129,12 @@ def test_windowed_kernel_matches_oracle(cin, cout, blk):
         wg.windowed_gather_gemm(wg.pack_sites(feats, cin), wrb, w, cout, cap,
                                 blk=blk, slack=slack),
         cout)
+    # square convs run the winproj kernel, which rounds each offset's
+    # partial to bf16 before the f32 cross-offset accumulation — allow
+    # one bf16 ulp of relative error on the bf16 output lattice
     np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(want, np.float32), rtol=0, atol=1e-2)
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=2e-2)
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
@@ -230,7 +234,9 @@ def test_encoder_engine_parity_windowed_vs_gather():
                        np.float32)
     out_w = np.asarray(m_w.apply(v, feats, coords, mask, training=False),
                        np.float32)
-    np.testing.assert_allclose(out_w, out_g, rtol=0, atol=1e-3)
+    # winproj square convs round per-offset partials to bf16 (one extra
+    # bf16 rounding stage vs the gather engine's f32 accumulation)
+    np.testing.assert_allclose(out_w, out_g, rtol=2e-2, atol=2e-2)
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")

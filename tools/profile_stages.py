@@ -46,6 +46,8 @@ def main():
     model = build_model(cfg.model, dtype=jnp.bfloat16)
     batch = synthetic_batch(cfg, B=1, num_points=args.points,
                             lidar=args.lidar)
+    from bevfusion_tpu.runtime.flagship import add_pool_lut
+    batch = add_pool_lut(cfg, batch)  # the bench/deployment pool path
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(0), b, training=False)
     )(batch)
@@ -78,7 +80,7 @@ def main():
     mats = {k: batch[k] for k in (
         "camera2ego", "lidar2ego", "lidar2camera", "lidar2image",
         "camera_intrinsics", "camera2lidar", "img_aug_matrix",
-        "lidar_aug_matrix") if k in batch}
+        "lidar_aug_matrix", "pool_lut") if k in batch}
 
     # ---- camera branch -------------------------------------------------
     def cam_backbone(m, img):
