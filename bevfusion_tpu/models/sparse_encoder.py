@@ -550,6 +550,12 @@ class SparseEncoder(nn.Module):
         # smaller block would shrink only DMA bytes, not MXU work
         SUBM_BLK = wg.BLK
         sslack = slack
+        # subm offsets grouped per dx (kz=9): all 9 (dy, dz) neighbors of
+        # a dx live within +-(Z+1) site ids, so ONE window DMA covers
+        # them — 3 DMAs per block instead of 9 and bigger one-hot
+        # matmuls ([9*BLK, WP] instead of [3*BLK, WP]); the kernel's kz
+        # grouping is layout-agnostic (kernel_offsets is x-major)
+        SUBM_KZ = 9
 
         def subm_wrb(ids_, g, C, tbl=None):
             if tbl is None:
@@ -572,7 +578,7 @@ class SparseEncoder(nn.Module):
                 else bmap(lambda i, t, t9: sp.build_subm_rulebook(
                     i, g, 3, table=t, table9=t9), ids_, tbl, tbl9)
             return bmap(lambda n: wg.build_windowed_rulebook(
-                n, C, slack=sslack, kz=3, blk=SUBM_BLK), nbr)
+                n, C, slack=sslack, kz=SUBM_KZ, blk=SUBM_BLK), nbr)
 
         overflow = []  # per-conv dropped-neighbor counts (diagnostic)
 
@@ -583,12 +589,13 @@ class SparseEncoder(nn.Module):
 
         def conv(name, packed_, wrbs, cin, cout, cap_out, K=27, lane_c=0,
                  slack_=None, wrbs_bwd=None, slack_bwd=0, cap_in=0,
-                 mirror=True, blk=SUBM_BLK, blk_bwd=wg.BLK, **epi):
+                 mirror=True, blk=SUBM_BLK, blk_bwd=wg.BLK, kz=SUBM_KZ,
+                 **epi):
             overflow.append(jnp.sum(wrbs.overflow))
             if wrbs_bwd is not None:
                 overflow.append(jnp.sum(wrbs_bwd.overflow))
             return _WindowedConv(cin, cout, K, lane_channels=lane_c,
-                                 blk=blk, blk_bwd=blk_bwd,
+                                 blk=blk, blk_bwd=blk_bwd, kz=kz,
                                  dtype=self.dtype, name=name)(
                 packed_, wrbs, cap_out, slack_ or sslack, training=training,
                 wrbs_bwd=wrbs_bwd, slack_bwd=slack_bwd, cap_in=cap_in,
@@ -730,7 +737,7 @@ class SparseEncoder(nn.Module):
                                      swrbs, in_ch, out_ch, cap_out, out_mask,
                                      slack_=4 * slack, wrbs_bwd=twrbs,
                                      slack_bwd=2 * slack, cap_in=cap,
-                                     mirror=False, blk=SBLK)
+                                     mirror=False, blk=SBLK, kz=3)
                     ids, mask, grid, cap = out_ids, out_mask, out_grid, cap_out
                     wrbs = subm_wrb(ids, grid, out_ch, tbl=out_tbl)
                     n_down += 1
@@ -811,7 +818,7 @@ class SparseEncoder(nn.Module):
                          self.output_channels, cap, out_mask, K=3,
                          slack_=4 * slack, wrbs_bwd=otwrbs,
                          slack_bwd=2 * slack, cap_in=cap, mirror=False,
-                         blk=SBLK)
+                         blk=SBLK, kz=3)
         ids, mask, grid = out_ids, out_mask, out_grid
 
         # window-overflow diagnostic: must stay 0 on real data (see

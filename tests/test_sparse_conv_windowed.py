@@ -168,6 +168,31 @@ def test_windowed_strided_conv_matches_oracle(blk):
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
+@pytest.mark.parametrize("kz", [3, 9])
+def test_windowed_kernel_kz_grouping_matches_oracle(kz):
+    """kz offsets per window group (the encoder runs subm convs at kz=9:
+    one window per dx covers all 9 (dy, dz) offsets)."""
+    grid = sp.SparseGrid(64, 64, 16)
+    ids = _sites(3000, grid, seed=kz)
+    cap = ids.shape[0]
+    rng = np.random.RandomState(5)
+    nbr = sp.build_subm_rulebook(ids, grid, 3)
+    feats = jnp.asarray(rng.rand(cap, 16).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.rand(27, 16, 16) * 0.2).astype(np.float32)).astype(jnp.bfloat16)
+
+    want = sp.subm_gather_gemm(feats, nbr, w)
+    wrb = wg.build_windowed_rulebook(nbr, 16, kz=kz)
+    assert int(wrb.overflow) == 0
+    got = wg.unpack_sites(
+        wg.windowed_gather_gemm(wg.pack_sites(feats, 16), wrb, w, 16, cap,
+                                kz=kz),
+        16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
 @pytest.mark.parametrize("cin,cout", [(16, 16), (16, 32)])
 def test_windowed_fused_epilogue_matches_unfused(cin, cout):
     """scale/shift/residual/relu epilogue == conv -> folded-BN affine
@@ -240,10 +265,12 @@ def test_encoder_engine_parity_windowed_vs_gather():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
-@pytest.mark.parametrize("cin,cout", [
-    (16, 16), pytest.param(64, 64, marks=pytest.mark.slow),
+@pytest.mark.parametrize("cin,cout,kz", [
+    (16, 16, 1),
+    (16, 16, 9),  # the encoder's subm grouping (one window per dx)
+    pytest.param(64, 64, 1, marks=pytest.mark.slow),
 ])
-def test_windowed_vjp_subm_matches_oracle_grads(cin, cout):
+def test_windowed_vjp_subm_matches_oracle_grads(cin, cout, kz):
     """windowed_conv_ad backward (mirrored windowed data-grad + Pallas
     dW accumulation) vs jax.grad through the XLA gather oracle
     (reference backward: spconv_ops.h:364+)."""
@@ -263,13 +290,13 @@ def test_windowed_vjp_subm_matches_oracle_grads(cin, cout):
 
     want_df, want_dw = jax.grad(loss_oracle, argnums=(0, 1))(feats, w)
 
-    wrb = wg.build_windowed_rulebook(nbr, cin)
+    wrb = wg.build_windowed_rulebook(nbr, cin, kz=kz)
     assert int(wrb.overflow) == 0
 
     def loss_win(f, w_):
         y = wg.windowed_conv_ad(
             wg.pack_sites(f.astype(jnp.bfloat16), cin), w_.astype(jnp.bfloat16),
-            wrb, wrb, cout, cap, cap, wg.SLACK, wg.SLACK, True)
+            wrb, wrb, cout, cap, cap, wg.SLACK, wg.SLACK, True, kz)
         y = wg.unpack_sites(y, cout)
         return jnp.sum(y.astype(jnp.float32) * gout)
 

@@ -116,12 +116,13 @@ def test_encoder_window_configs_overflow_free_on_dense_scan(seed):
         swrb = wg.build_windowed_rulebook(
             jnp.asarray(cnbr), chans[s], cap_in=cap, slack=8, kz=3, blk=128)
         assert int(swrb.overflow) == 0, f"stage {s} strided overflow"
-        # subm at the output stage: blk=512 / slack=2
+        # subm at the output stage: blk=512 / slack=2 / kz=9 (one window
+        # per dx covers all 9 (dy, dz) offsets, spanning +-(Z+1) ids)
         pad_out = np.full(cap_out, og[0] * og[1] * og[2], np.int64)
         pad_out[:len(out_ids)] = out_ids
         snbr = _subm_nbr(out_ids, og, cap_out)
         C_next = [32, 64, 128][s]
         wrb = wg.build_windowed_rulebook(
-            jnp.asarray(snbr), C_next, slack=2, kz=3, blk=512)
+            jnp.asarray(snbr), C_next, slack=2, kz=9, blk=512)
         assert int(wrb.overflow) == 0, f"stage {s + 1} subm overflow"
         ids, g, cap = out_ids, og, cap_out
