@@ -620,6 +620,13 @@ class SparseEncoder(nn.Module):
                 if residual is not None:
                     y = y + residual
                 return nn.relu(y) if relu_ else y
+            # RELAXED PACKED-ZERO INVARIANT (eval only): the fused epilogue
+            # applies relu(x*inv + sh) to every packed row, so padded /
+            # invalid rows carry relu(shift) instead of the zeros the
+            # unfused PackedMaskedBatchNorm writes. Every consumer masks
+            # (to_dense drops sentinel ids; rulebook one-hots select only
+            # valid neighbors) — any future unmasked reduction over packed
+            # rows must re-mask with `mask_` first.
             inv, sh = m(None, None, False, fold=True)
             return conv(cname, packed_, wrbs, cin, cout, cap_out,
                         scale=inv, shift=sh, relu=relu_,

@@ -66,7 +66,7 @@ def _get_geometry_np(frustum, camera2lidar, intrins, img_aug, lidar_aug):
 
 
 def build_pool_lut_np(frustum, dx, bx, nx, camera2lidar, intrins, img_aug,
-                      lidar_aug, chunk: int = 1024) -> Dict[str, np.ndarray]:
+                      lidar_aug, chunk: int = 0) -> Dict[str, np.ndarray]:
     """Per-batch pooling LUT (numpy, host side).
 
     frustum [D, fH, fW, 3]; dx/bx [3]; nx [3] ints; matrices batched
@@ -82,6 +82,11 @@ def build_pool_lut_np(frustum, dx, bx, nx, camera2lidar, intrins, img_aug,
       scatter_idx [B, cap_ranks] int32 — rank -> output cell (invalid
                  ranks get unique out-of-bounds ids for mode="drop")
     """
+    if not chunk:
+        # the consumer (lss_bev_pool_from_lut) reshapes slot/meta with the
+        # Pallas kernel's CHUNK — a diverging default would desync LUTs
+        from . import bev_pool_pallas as _bp
+        chunk = _bp.CHUNK
     B, N = camera2lidar.shape[:2]
     D, fH, fW = frustum.shape[:3]
     HW = fH * fW

@@ -550,7 +550,15 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
     out_valid = out_ids < out_grid.size
     XY = grid.X * grid.Y
 
-    if (table9 is None and k[0] == 3 and k[1] == 3
+    # table9 requires the y-triple CENTER iy0 = oy*s - p + 1 in [0, Y) for
+    # every in-range output row: true iff p[1] <= 1 (iy0 >= 1-p and
+    # iy0_max = Y + p - 2). With p[1] > 1 the clipped center row would
+    # alias a neighboring column and silently drop true neighbors, so
+    # fall back to per-offset column fetches.
+    t9_ok = k[1] == 3 and p[1] <= 1
+    if not t9_ok:
+        table9 = None
+    if (table9 is None and t9_ok and k[0] == 3
             and t9_worth_it(XY, out_ids.shape[0])):
         table9 = build_column_table9(table, grid)
 

@@ -29,18 +29,20 @@ class MetricLogger:
 
     def log(self, epoch: int, it: int, steps_per_epoch: int,
             logs: Dict[str, Any]) -> None:
+        # hard guard EVERY step (before the interval early-out): a windowed
+        # sparse-conv neighbor drop silently zeroes conv contributions in
+        # fwd AND bwd — corrupt training, fail loudly
+        # (raise SparseEncoder.window_slack / site caps instead)
+        ovf = float(logs.get("diag/window_overflow", 0.0) or 0.0)
+        if ovf > 0:
+            raise RuntimeError(
+                f"sparse-conv window overflow during training: "
+                f"{int(ovf)} neighbors dropped "
+                "(increase SparseEncoder.window_slack or site_caps)")
         if it % self.interval:
             return
         step = epoch * steps_per_epoch + it
         scal = {k: float(v) for k, v in logs.items()}
-        # hard guard: a windowed sparse-conv neighbor drop silently zeroes
-        # conv contributions in fwd AND bwd — corrupt training, fail loudly
-        # (raise SparseEncoder.window_slack / site caps instead)
-        if scal.get("diag/window_overflow", 0.0) > 0:
-            raise RuntimeError(
-                f"sparse-conv window overflow during training: "
-                f"{int(scal['diag/window_overflow'])} neighbors dropped "
-                "(increase SparseEncoder.window_slack or site_caps)")
         rec = {"epoch": epoch, "iter": it, "step": step,
                "time": round(time.time() - self._t0, 1), **scal}
         self._jsonl.write(json.dumps(rec) + "\n")
