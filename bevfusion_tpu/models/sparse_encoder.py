@@ -573,12 +573,18 @@ class SparseEncoder(nn.Module):
                 tbl9 = None
             tables["cur"] = tbl
             tables["cur9"] = tbl9
+            # offset-major [K, cap] rulebooks end-to-end: a [cap, 27]
+            # int32 array physically lane-pads to 128 elements (61 MB at
+            # 120k sites) on this backend
             nbr = bmap(lambda i, t: sp.build_subm_rulebook(
-                i, g, 3, table=t, table9=None), ids_, tbl) if tbl9 is None \
+                i, g, 3, table=t, table9=None,
+                offset_major=True), ids_, tbl) if tbl9 is None \
                 else bmap(lambda i, t, t9: sp.build_subm_rulebook(
-                    i, g, 3, table=t, table9=t9), ids_, tbl, tbl9)
+                    i, g, 3, table=t, table9=t9,
+                    offset_major=True), ids_, tbl, tbl9)
             return bmap(lambda n: wg.build_windowed_rulebook(
-                n, C, slack=sslack, kz=SUBM_KZ, blk=SUBM_BLK), nbr)
+                n, C, slack=sslack, kz=SUBM_KZ, blk=SUBM_BLK,
+                offset_major=True), nbr)
 
         overflow = []  # per-conv dropped-neighbor counts (diagnostic)
 
@@ -717,7 +723,7 @@ class SparseEncoder(nn.Module):
                     cnbr = _BM_(
                         lambda oi, ii, t, t9: sp.build_conv_rulebook(
                             ii, oi, g_in, out_grid, 3, 2, padding, table=t,
-                            table9=t9)
+                            table9=t9, offset_major=True)
                     )(out_ids, ids, tables["cur"], tables["cur9"])
                     # a stride-2 conv's output block covers up to ~8x
                     # (stride^3) as many input sites in dense regions, so
@@ -726,19 +732,20 @@ class SparseEncoder(nn.Module):
                     swrbs = _BM_(
                         lambda n: wg.build_windowed_rulebook(
                             n, in_ch, cap_in=cap, slack=4 * slack, kz=3,
-                            blk=SBLK))(cnbr)
+                            blk=SBLK, offset_major=True))(cnbr)
                     twrbs = None
                     if training:
                         # backward-data rulebook: transpose pairing over
                         # the output sites with Cout packing
                         nbr_t = _BM_(
                             lambda ii, oi: sp.build_conv_transpose_rulebook(
-                                ii, oi, g_in, out_grid, 3, 2, padding)
+                                ii, oi, g_in, out_grid, 3, 2, padding,
+                                offset_major=True)
                         )(ids, out_ids)
                         twrbs = _BM_(
                             lambda n: wg.build_windowed_rulebook(
                                 n, out_ch, cap_in=cap_out, slack=2 * slack,
-                                kz=3)
+                                kz=3, offset_major=True)
                         )(nbr_t)
                     packed = conv_bn(f"{name}_spconv", f"{name}_bn", packed,
                                      swrbs, in_ch, out_ch, cap_out, out_mask,
@@ -805,21 +812,24 @@ class SparseEncoder(nn.Module):
             )(ids)
         cnbr = _BM_(
             lambda oi, ii, t: sp.build_conv_rulebook(
-                ii, oi, g_fin, out_grid, k_out, s_out, p_out, table=t)
+                ii, oi, g_fin, out_grid, k_out, s_out, p_out, table=t,
+                offset_major=True)
         )(out_ids, ids, tables["cur"])
         owrbs = _BM_(
             lambda n: wg.build_windowed_rulebook(
-                n, in_ch, cap_in=cap, slack=4 * slack, kz=3, blk=SBLK))(cnbr)
+                n, in_ch, cap_in=cap, slack=4 * slack, kz=3, blk=SBLK,
+                offset_major=True))(cnbr)
         otwrbs = None
         if training:
             nbr_t = _BM_(
                 lambda ii, oi: sp.build_conv_transpose_rulebook(
-                    ii, oi, g_fin, out_grid, k_out, s_out, p_out)
+                    ii, oi, g_fin, out_grid, k_out, s_out, p_out,
+                    offset_major=True)
             )(ids, out_ids)
             otwrbs = _BM_(
                 lambda n: wg.build_windowed_rulebook(
                     n, self.output_channels, cap_in=cap, slack=2 * slack,
-                    kz=3)
+                    kz=3, offset_major=True)
             )(nbr_t)
         packed = conv_bn("conv_out", "bn_out", packed, owrbs, in_ch,
                          self.output_channels, cap, out_mask, K=3,

@@ -23,18 +23,23 @@ Deleted per frame: geometry einsum chain + quantize (~4.5 ms), the
 3-operand sort (~5.8 ms), head/rank/meta cumsums and the id-digit lane
 packing (~3 ms) — the sort/rank glue the round-3 profile blamed.
 
-Eval/bench path only: training keeps the in-graph geometry route
-(ops/bev_pool.lss_bev_pool) whose custom VJP is oracle-tested.
+Differentiable: the LUT is parameter-independent (geometry only), so
+only depth/ctx carry gradients. The custom VJP reuses the in-graph
+pool's pixel-major backward (ops/bev_pool_pallas.pool_backward) driven
+by the LUT's per-point cell ids — training can ride the LUT path too
+and skip the in-graph geometry/sort chain every step.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import numpy as np
 
 __all__ = ["build_pool_lut_np", "lss_bev_pool_from_lut", "LUT_KEYS"]
 
-LUT_KEYS = ("inv_order", "pix_s", "slot", "meta", "scatter_idx")
+LUT_KEYS = ("inv_order", "pix_s", "slot", "meta", "scatter_idx",
+            "cell_ids")
 
 
 def _get_geometry_np(frustum, camera2lidar, intrins, img_aug, lidar_aug):
@@ -81,6 +86,9 @@ def build_pool_lut_np(frustum, dx, bx, nx, camera2lidar, intrins, img_aug,
       meta       [B, nchunks, 2] int32 — (rank_offset, continuation)
       scatter_idx [B, cap_ranks] int32 — rank -> output cell (invalid
                  ranks get unique out-of-bounds ids for mode="drop")
+      cell_ids   [B, Np] int32 — cell id per flat frustum point
+                 (num_cells when out of grid): the backward pairing
+                 (point -> cell) for the custom VJP
     """
     if not chunk:
         # the consumer (lss_bev_pool_from_lut) reshapes slot/meta with the
@@ -133,13 +141,23 @@ def build_pool_lut_np(frustum, dx, bx, nx, camera2lidar, intrins, img_aug,
         out["slot"].append(slot.reshape(-1, 1, chunk))
         out["meta"].append(np.stack([rank_offset, cont], 1))
         out["scatter_idx"].append(scat.astype(np.int32))
+        out["cell_ids"].append(ids.reshape(-1).astype(np.int32))
     return {k: np.stack(v) for k, v in out.items()}
 
 
 def lss_bev_pool_from_lut(depth, ctx, lut, Z: int, X: int, Y: int):
     """LUT-driven pooling: depth [B, N, D, fH, fW], ctx [B, N, fH, fW, C],
     lut per build_pool_lut_np (jnp arrays, batched). Returns
-    [B, X, Y, Z*C] like ops.bev_pool.lss_bev_pool. Eval path (no VJP)."""
+    [B, X, Y, Z*C] like ops.bev_pool.lss_bev_pool. Differentiable in
+    depth/ctx when the LUT carries "cell_ids" (see _lut_pool_ad)."""
+    if "cell_ids" in lut:
+        return _lut_pool_ad(depth, ctx, lut["inv_order"], lut["pix_s"],
+                            lut["slot"], lut["meta"], lut["scatter_idx"],
+                            lut["cell_ids"], Z, X, Y)
+    return _lut_pool_impl(depth, ctx, lut, Z, X, Y)  # legacy LUTs: eval only
+
+
+def _lut_pool_impl(depth, ctx, lut, Z: int, X: int, Y: int):
     import jax
     import jax.numpy as jnp
 
@@ -193,3 +211,50 @@ def lss_bev_pool_from_lut(depth, ctx, lut, Z: int, X: int, Y: int):
     ])
     out = out.reshape(B, Z, X, Y, C).transpose(0, 2, 3, 1, 4)
     return out.reshape(B, X, Y, Z * C).astype(ctx.dtype)
+
+
+def _make_lut_ad():
+    """Build the custom-VJP LUT pool lazily (keeps jax out of the
+    module-import path, like everything else in this file)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+    def _ad(depth, ctx, inv_order, pix_s, slot, meta, scatter_idx,
+            cell_ids, Z, X, Y):
+        return _fwd(depth, ctx, inv_order, pix_s, slot, meta, scatter_idx,
+                    cell_ids, Z, X, Y)[0]
+
+    def _fwd(depth, ctx, inv_order, pix_s, slot, meta, scatter_idx,
+             cell_ids, Z, X, Y):
+        lut = {"inv_order": inv_order, "pix_s": pix_s, "slot": slot,
+               "meta": meta, "scatter_idx": scatter_idx}
+        out = _lut_pool_impl(depth, ctx, lut, Z, X, Y)
+        return out, (depth, ctx, cell_ids)
+
+    def _bwd(Z, X, Y, res, g):
+        # the LUT is parameter-independent: only depth/ctx carry grads;
+        # the pairing point -> cell drives the shared pixel-major
+        # backward of the in-graph pool
+        from .bev_pool_pallas import pool_backward
+
+        depth, ctx, cell_ids = res
+        B, N, D, fH, fW = depth.shape
+        ids = cell_ids.reshape(B, N, D, fH, fW)
+        valid = ids < Z * X * Y
+        dd, dc = pool_backward(depth, ctx, jnp.where(valid, ids, 0), valid,
+                               g, Z, X, Y)
+        return (dd, dc) + (None,) * 6
+
+    _ad.defvjp(_fwd, _bwd)
+    return _ad
+
+
+_LUT_AD = None
+
+
+def _lut_pool_ad(*args):
+    global _LUT_AD
+    if _LUT_AD is None:
+        _LUT_AD = _make_lut_ad()
+    return _LUT_AD(*args)

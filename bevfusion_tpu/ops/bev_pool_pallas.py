@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rank_segment_sum", "lss_bev_pool_tpu"]
+__all__ = ["rank_segment_sum", "lss_bev_pool_tpu", "pool_backward"]
 
 CHUNK = 1024
 
@@ -269,16 +269,18 @@ def _fwd(depth, ctx, cell_ids, valid, Z, X, Y):
     return out.astype(ctx.dtype), (depth, ctx, cell_ids, valid)
 
 
-def _bwd(Z, X, Y, res, g):
-    """Natural (pixel-major) order backward — no sort needed:
+def pool_backward(depth, ctx, cell_ids, valid, g, Z, X, Y):
+    """Natural (pixel-major) order backward of the fused pool — no sort:
     d_depth[p, d] = <ctx[p], g[cell(p, d)]>;
     d_ctx[p] = sum_d depth[p, d] * g[cell(p, d)].
 
     Scans over the depth-bin axis so the gathered gradient rows peak at
     [B, N, fH, fW, C] (one bin) instead of materializing the full
     [B, N, D, fH, fW, C] frustum gradient (~640 MB f32 at flagship
-    scale — the round-2 training-memory hazard)."""
-    depth, ctx, cell_ids, valid = res
+    scale — the round-2 training-memory hazard). Shared by the in-graph
+    (lss_bev_pool_tpu) and calibration-LUT (ops/bev_pool_lut.py) paths:
+    the backward pairing depends only on point -> cell, not on how the
+    forward sorted/pooled."""
     B, N, D, fH, fW = depth.shape
     C = ctx.shape[-1]
     num_cells = Z * X * Y
@@ -307,6 +309,12 @@ def _bwd(Z, X, Y, res, g):
          depth.transpose(2, 0, 1, 3, 4)))
     d_depth = dds.transpose(1, 2, 0, 3, 4).astype(depth.dtype)
     d_ctx = acc_ctx.astype(ctx.dtype)
+    return d_depth, d_ctx
+
+
+def _bwd(Z, X, Y, res, g):
+    depth, ctx, cell_ids, valid = res
+    d_depth, d_ctx = pool_backward(depth, ctx, cell_ids, valid, g, Z, X, Y)
     return d_depth, d_ctx, None, None
 
 

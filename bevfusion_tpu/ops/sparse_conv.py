@@ -164,13 +164,17 @@ def build_column_table(ids, grid: SparseGrid) -> ColumnTable:
         comb, (head, lo_bit, hi_bit, rows))
     tail = jnp.concatenate([col[:-1] != col[1:], jnp.ones((1,), bool)])
     tgt = jnp.where(tail & valid, col, XY)
-    vals = jnp.stack(
-        [jax.lax.bitcast_convert_type(lo_s, jnp.int32),
-         jax.lax.bitcast_convert_type(hi_s, jnp.int32),
-         st_s], axis=-1)
-    packed = (jnp.zeros((XY + 1, 3), jnp.int32)
-              .at[tgt].set(vals, mode="drop", unique_indices=True)[:XY])
-    return ColumnTable(packed)
+    # three 1D scatters + a stack: a single 2D scatter of [cap, 3] values
+    # into [XY+1, 3] costs 6.5x as much on this backend (5.5 vs 0.84 ms
+    # at the 1440^2 stage-0 grid, measured tools/bench_mxu_micro.py) —
+    # the [*, 3] minor dim defeats the scatter's vectorization
+    cols = []
+    for v in (jax.lax.bitcast_convert_type(lo_s, jnp.int32),
+              jax.lax.bitcast_convert_type(hi_s, jnp.int32),
+              st_s):
+        cols.append(jnp.zeros((XY + 1,), jnp.int32)
+                    .at[tgt].set(v, mode="drop", unique_indices=True)[:XY])
+    return ColumnTable(jnp.stack(cols, axis=-1))
 
 
 def _fetch_columns(table: ColumnTable, col):
@@ -257,7 +261,7 @@ def _lookup(ids, nx_, ny_, nz_, ok, grid: SparseGrid, table: ColumnTable = None)
 
 
 def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None,
-                        table9=None):
+                        table9=None, offset_major: bool = False):
     """Neighbor gather table for submanifold conv.
 
     ids: [cap] sorted active-site ids (sentinel-padded). Returns
@@ -269,6 +273,11 @@ def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None,
     resolved with popcount bit math. ``table``/``table9``: prebuilt
     lookup structures shared with other rulebooks of the same site set
     (~6 ms/stage at 120k sites).
+
+    ``offset_major=True`` returns [K, cap] instead: a [cap, K<128] int32
+    array physically lane-pads its minor dim to 128 on this backend
+    (61 MB instead of 13 MB at 120k sites), so the windowed engine
+    consumes the transposed layout end-to-end.
     """
     kx, ky, kz = _triple(kernel_size)
     px, py, pz = (kx - 1) // 2, (ky - 1) // 2, (kz - 1) // 2
@@ -302,7 +311,7 @@ def build_subm_rulebook(ids, grid: SparseGrid, kernel_size=3, table=None,
                 present = _present(lo, hi, nz_) & ok
                 row = st + _rank_below(lo, hi, nz_)
                 cols_k.append(jnp.where(present, row, -1).astype(jnp.int32))
-    return jnp.stack(cols_k, axis=1)  # [cap, K] in kernel_offsets order
+    return jnp.stack(cols_k, axis=0 if offset_major else 1)
 
 
 def subm_gather_gemm(feats, nbr, weight):
@@ -534,11 +543,13 @@ def downsample_sites(ids, grid: SparseGrid, kernel_size, stride, padding, cap_ou
 
 def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
                         kernel_size, stride, padding, table=None,
-                        table9=None):
+                        table9=None, offset_major: bool = False):
     """Gather table for a regular (strided) sparse conv.
 
     For output site o and offset k the unique input coord is
-    o*s - p + off_k; returns nbr [cap_out, K] int32 into in_ids (-1 miss).
+    o*s - p + off_k; returns nbr [cap_out, K] int32 into in_ids (-1 miss)
+    — or [K, cap_out] with ``offset_major=True`` (lane-padding-free, see
+    build_subm_rulebook).
     ky == 3 kernels fetch ONE table9 row per dx (3 gathers/site, see
     build_column_table9); kz offsets share the popcount bit math.
     ``table``/``table9``: optional prebuilt lookup structures over
@@ -585,12 +596,13 @@ def build_conv_rulebook(in_ids, out_ids, grid: SparseGrid, out_grid: SparseGrid,
                 present = _present(lo, hi, iz) & ok
                 row = st + _rank_below(lo, hi, iz)
                 cols_k.append(jnp.where(present, row, -1).astype(jnp.int32))
-    return jnp.stack(cols_k, axis=1)
+    return jnp.stack(cols_k, axis=0 if offset_major else 1)
 
 
 def build_conv_transpose_rulebook(in_ids, out_ids, grid: SparseGrid,
                                   out_grid: SparseGrid, kernel_size, stride,
-                                  padding, table=None):
+                                  padding, table=None,
+                                  offset_major: bool = False):
     """Transposed gather table of a regular (strided) sparse conv: for
     each *input* site i and offset k, the unique output site o with
     o*s - p + off_k == i (or -1). This is the backward-data pairing the
@@ -630,7 +642,8 @@ def build_conv_transpose_rulebook(in_ids, out_ids, grid: SparseGrid,
                 present = _present(lo, hi, oz) & ok
                 row = st + _rank_below(lo, hi, oz)
                 cols_k.append(jnp.where(present, row, -1).astype(jnp.int32))
-    return jnp.stack(cols_k, axis=1)  # [cap_in, K] in kernel_offsets order
+    # [cap_in, K] in kernel_offsets order ([K, cap_in] if offset_major)
+    return jnp.stack(cols_k, axis=0 if offset_major else 1)
 
 
 def _even_bits(x):

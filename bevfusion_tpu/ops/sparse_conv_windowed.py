@@ -90,14 +90,18 @@ def unpack_sites(packed, C: int):
 
 class WindowedRulebook(NamedTuple):
     """Precomputed per-(block, offset) window starts + per-site relative
-    packet/lane selectors. Built once per (site set, kernel) and shared
+    packet/slot selectors. Built once per (site set, kernel) and shared
     by every conv in the stage (the reference's indice_key contract,
     ops/spconv/conv.py:152-179).
 
-    s8:       [nblocks, K] int32 — window start row in the packed array
-    sel:      [nblocks, BLK, Kpad] int32 — (relp + 1) * 256 + lane_base
-              (relp = packet index within window, -1 => miss; lane_base
-              = (rel % P) * C); Kpad = K rounded up to 128 lanes
+    s8:       [nblocks, G + 1] int32 — per-GROUP window start row in the
+              packed array, plus a trailing active-block flag
+    sel:      [nblocks, BLK, Kpad] int16 — (relp + 1) * 8 + slot
+              (relp = packet index within window, -1 => miss/overflow;
+              slot = packed slot index, lane base = slot * C); Kpad = K
+              rounded up to 8 lanes. int16 halves the dominant per-conv
+              input traffic vs int32 (the minor dim physically pads to
+              128 elements either way).
     overflow: [] int32 — neighbors dropped by the window cap (diagnose
               with tests; must be 0 on real data)
     """
@@ -109,7 +113,7 @@ class WindowedRulebook(NamedTuple):
 
 def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
                             slack: int = SLACK, blk: int = BLK,
-                            kz: int = 1):
+                            kz: int = 1, offset_major: bool = False):
     """nbr [cap_out, K] int32 neighbor rows into the *input* site array
     (-1 miss), monotone per offset column (guaranteed by sorted site
     ids) -> WindowedRulebook. cap_in = input site count (defaults to
@@ -117,13 +121,20 @@ def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
     high-slack (strided) convs: the one-hot matmul cost per site scales
     with slack * blk while window coverage stays slack * blk sites.
 
+    ``offset_major=True``: nbr is [K, cap_out] (the lane-padding-free
+    layout build_subm_rulebook(offset_major=True) emits — a [cap, K<128]
+    int32 array pads its minor dim to 128 elements on this backend, so
+    the whole build otherwise reads/writes 4.7x the useful bytes).
+
     ``kz``: adjacent kernel offsets per window GROUP. Offsets that share
     a (dx, dy) column differ only by the z step, so their neighbor runs
     are shifted by ±1 site and one window covers all kz of them — K/kz
     DMAs and K/kz (kz·blk)-row one-hot matmuls instead of K, batching
     the VPU work and keeping the MXU fed (kernel_offsets order is
     z-minor, so groups are contiguous offset triples)."""
-    cap, K = nbr.shape
+    if not offset_major:
+        nbr = nbr.T  # small/caller-compat path
+    K, cap = nbr.shape
     assert K % kz == 0, (K, kz)
     G = K // kz
     if cap_in is None:
@@ -132,16 +143,17 @@ def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
     assert cap_in % P == 0, (cap_in, P)
     cap_pad = (cap + blk - 1) // blk * blk
     if cap_pad != cap:
-        nbr = jnp.pad(nbr, ((0, cap_pad - cap), (0, 0)), constant_values=-1)
+        nbr = jnp.pad(nbr, ((0, 0), (0, cap_pad - cap)), constant_values=-1)
     nblocks = cap_pad // blk
     BLKP = blk // P
     WP = max(slack * BLKP, 8)
+    assert (WP + 1) * 8 + 8 < 32768, WP  # sel encoding must fit int16
     capP = cap_in // P  # rows of the (un-padded) packed input array
 
-    nb = nbr.reshape(nblocks, blk, G, kz)
+    nb = nbr.reshape(G, kz, nblocks, blk)
     valid = nb >= 0
-    # first valid neighbor row per (block, group) -> packed window start
-    first = jnp.min(jnp.where(valid, nb, cap_in), axis=(1, 3))  # [nblocks, G]
+    # first valid neighbor row per (group, block) -> packed window start
+    first = jnp.min(jnp.where(valid, nb, cap_in), axis=(1, 3))  # [G, nblocks]
     # window start: packed row, aligned down to the (8, 128) HBM tiling
     s8 = jnp.clip((first // P) & ~7, 0, max((capP - WP) & ~7, 0)).astype(jnp.int32)
 
@@ -149,18 +161,19 @@ def build_windowed_rulebook(nbr, C: int, cap_in: int = None,
     fits = valid & (rel < WP * P)
     overflow = jnp.sum(valid & ~fits).astype(jnp.int32)
     relp = jnp.where(fits, rel // P, -1)
-    lane = jnp.where(fits, (rel % P) * C, 0)
-    sel = ((relp + 1) * 256 + lane).astype(jnp.int32).reshape(
-        nblocks, blk, K)
+    slot = jnp.where(fits, rel % P, 0)
+    sel = ((relp + 1) * 8 + slot).astype(jnp.int16).reshape(K, nblocks, blk)
 
-    Kpad = (K + 127) // 128 * 128
-    sel = jnp.pad(sel, ((0, 0), (0, 0), (0, Kpad - K)))
+    Kpad = (K + 7) // 8 * 8
+    if Kpad != K:
+        sel = jnp.pad(sel, ((0, Kpad - K), (0, 0), (0, 0)))
+    sel = sel.transpose(1, 2, 0)  # [nblocks, blk, Kpad]
     # per-block any-valid flag (extra s8 column): sites are sorted with
     # padding at the tail, so cap-padding blocks are contiguous — the
     # kernels skip them entirely (writes zeros). At realistic occupancy
     # 30-65% of blocks per stage are pure padding.
-    act = jnp.any(valid, axis=(1, 2, 3)).astype(jnp.int32)  # [nblocks]
-    s8 = jnp.concatenate([s8, act[:, None]], axis=1)
+    act = jnp.any(valid, axis=(0, 1, 3)).astype(jnp.int32)  # [nblocks]
+    s8 = jnp.concatenate([s8.T, act[:, None]], axis=1)
     return WindowedRulebook(s8, sel, overflow)
 
 
@@ -222,9 +235,9 @@ def _kernel(s8_ref, sel_ref, fp_hbm, w_ref, *rest, K, Cin, Cout, WP, P,
             # channels from whatever slot they sit in.
             ohs, msks = [], []
             for dz in range(kz):
-                v = sel_ref[0, :, g * kz + dz]  # [BLK] int32
-                relp = v // 256 - 1
-                lane = (v % 256)[:, None]
+                v = sel_ref[0, :, g * kz + dz].astype(jnp.int32)  # [BLK]
+                relp = (v >> 3) - 1  # miss/overflow encode as relp -1
+                lane = ((v & 7) * Cin)[:, None]
                 ohs.append((rows_iota == relp[:, None]).astype(jnp.bfloat16))
                 msks.append(((lane_iota >= lane) &
                              (lane_iota < lane + Cin)).astype(jnp.bfloat16))
@@ -328,9 +341,9 @@ def _kernel_sq(s8_ref, sel_ref, fp_hbm, w3_ref, *rest, K, Cin, Cout, WP, P,
                          precision=jax.lax.Precision.DEFAULT
                          ).astype(jnp.bfloat16)
             for dz in range(kz):
-                v = sel_ref[0, :, g * kz + dz]  # [BLK] int32
-                relp = v // 256 - 1
-                lane = (v % 256)[:, None]
+                v = sel_ref[0, :, g * kz + dz].astype(jnp.int32)  # [BLK]
+                relp = (v >> 3) - 1  # miss/overflow encode as relp -1
+                lane = ((v & 7) * Cin)[:, None]
                 oh = (rows_iota == relp[:, None]).astype(jnp.bfloat16)
                 H = jnp.dot(oh, wp[:, dz * 128:(dz + 1) * 128],
                             preferred_element_type=jnp.float32,
@@ -522,9 +535,9 @@ def _kernel_dw(s8_ref, sel_ref, fp_hbm, dout_ref, dw_ref, win, a_scr, sems, *,
             # gather); the wrapper folds the P-replicated dW back down
             ohs, msks = [], []
             for dz in range(kz):
-                v = sel_ref[0, :, g * kz + dz]  # [BLK] int32
-                relp = v // 256 - 1
-                lane = (v % 256)[:, None]
+                v = sel_ref[0, :, g * kz + dz].astype(jnp.int32)  # [BLK]
+                relp = (v >> 3) - 1  # miss/overflow encode as relp -1
+                lane = ((v & 7) * Cin)[:, None]
                 ohs.append((rows_iota == relp[:, None]).astype(jnp.bfloat16))
                 msks.append(((lane_iota >= lane) &
                              (lane_iota < lane + Cin)).astype(jnp.bfloat16))

@@ -210,6 +210,8 @@ def build_flagship(batch_size: int = 1, dtype=jnp.float32,
     model = build_model(cfg.model, dtype=dtype)
     batch = synthetic_batch(cfg, B=batch_size, num_points=num_points,
                             training=training)
-    if pool_lut and not training:
+    if pool_lut:
+        # differentiable (custom VJP over the LUT's point->cell pairing)
+        # — training rides it too and skips the in-graph geometry chain
         batch = add_pool_lut(cfg, batch)
     return cfg, model, batch

@@ -97,3 +97,45 @@ def test_lut_geometry_matches_device_geometry():
     # host numpy f32 vs XLA f32: different op orderings can flip cells
     # for boundary-exact points of the axis-aligned synthetic rig
     assert agree > 0.995, agree
+
+
+def test_lut_pool_gradients_match_in_graph_pool():
+    """The LUT path's custom VJP (pool_backward driven by the LUT's
+    point->cell pairing) must produce the same depth/ctx grads as the
+    in-graph route — training can ride the LUT path (VERDICT r4 #4)."""
+    frustum, dx, bx, nx, mats, depth, ctx = _setup()
+    X, Y, Z = int(nx[0]), int(nx[1]), int(nx[2])
+
+    geom = get_geometry(jnp.asarray(frustum), mats["camera2lidar"],
+                        mats["camera_intrinsics"][..., :3, :3],
+                        mats["img_aug_matrix"], mats["lidar_aug_matrix"])
+    ids, valid = cell_ids_from_geometry(geom, jnp.asarray(dx),
+                                        jnp.asarray(bx), nx)
+
+    rng = np.random.RandomState(7)
+    gcot = jnp.asarray(rng.rand(1, X, Y, Z * ctx.shape[-1])
+                       .astype(np.float32))
+
+    def loss_ref(d, c):
+        return jnp.sum(lss_bev_pool(d, c, ids, valid, Z, X, Y) * gcot)
+
+    lut = build_pool_lut_np(
+        np.asarray(frustum), np.asarray(dx), np.asarray(bx), nx,
+        np.asarray(mats["camera2lidar"]),
+        np.asarray(mats["camera_intrinsics"])[..., :3, :3],
+        np.asarray(mats["img_aug_matrix"]),
+        np.asarray(mats["lidar_aug_matrix"]))
+    lut_j = {k: jnp.asarray(v) for k, v in lut.items()}
+
+    def loss_lut(d, c):
+        return jnp.sum(lss_bev_pool_from_lut(d, c, lut_j, Z, X, Y) * gcot)
+
+    dd_r, dc_r = jax.grad(loss_ref, argnums=(0, 1))(depth, ctx)
+    dd_l, dc_l = jax.grad(loss_lut, argnums=(0, 1))(depth, ctx)
+
+    # identical pairing away from cell-boundary quantization flips
+    for a, b in ((dd_r, dd_l), (dc_r, dc_l)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        bad = np.abs(a - b) > (2e-2 + 2e-2 * np.abs(a))
+        assert bad.mean() < 5e-3, bad.mean()
+    assert float(jnp.sum(jnp.abs(dd_l))) > 0  # grads actually flow

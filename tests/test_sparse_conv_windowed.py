@@ -40,17 +40,18 @@ def test_windowed_rulebook_encoding_reconstructs_neighbors():
     # offset triples share one window) plus a trailing active-block flag
     s8 = np.asarray(wrb.s8)
     starts, act = s8[:, :-1], s8[:, -1]
-    sel = np.asarray(wrb.sel)[:, :, :27]
+    assert wrb.sel.dtype == jnp.int16
+    sel = np.asarray(wrb.sel).astype(np.int64)[:, :, :27]
     nb = np.asarray(nbr)
     cap = nb.shape[0]
     nbp = np.full(((cap + wg.BLK - 1) // wg.BLK * wg.BLK, 27), -1, np.int64)
     nbp[:cap] = nb
     nbp = nbp.reshape(-1, wg.BLK, 27)
-    # decode: row = s8[group]*P + relp*P + lane/C ; miss -> relp == -1
-    relp = sel // 256 - 1
-    lane = sel % 256
+    # decode: row = s8[group]*P + relp*P + slot ; miss -> relp == -1
+    relp = (sel >> 3) - 1
+    slot = sel & 7
     s_off = np.repeat(starts, kz, axis=1)  # expand groups -> offsets
-    row = s_off[:, None, :] * P + relp * P + lane // C
+    row = s_off[:, None, :] * P + relp * P + slot
     got = np.where(relp >= 0, row, -1)
     np.testing.assert_array_equal(got, nbp)
     # window starts are 8-aligned (HBM tiling requirement)
@@ -70,8 +71,8 @@ def test_windowed_rulebook_overflow_counts_drops():
                                      slack=2)
     assert int(wrb.overflow) == 1
     # and the well-behaved column is untouched
-    sel0 = np.asarray(wrb.sel)[0, :, 0]
-    assert (sel0 // 256 - 1 >= 0).all()
+    sel0 = np.asarray(wrb.sel).astype(np.int64)[0, :, 0]
+    assert ((sel0 >> 3) - 1 >= 0).all()
 
 
 def test_packed_masked_batchnorm_matches_unpacked():

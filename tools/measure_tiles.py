@@ -112,14 +112,18 @@ def main():
     stage_coords = [coords]
     c1, g1 = downsample(coords, grids[0])
     c2, g2 = downsample(c1, g1)
-    print(f"stage1 sites: {len(c1)} grid {g1}; stage2 sites: {len(c2)} grid {g2}")
-    stage_coords += [c1, c2]
-    grids += [g1, g2]
-    chans = [(16, 16), (32, 32), (64, 64)]
+    # flagship stage-2 -> stage-3 strided conv pads (1, 1, 0)
+    c3, g3 = downsample(c2, g2, p=(1, 1, 0))
+    print(f"stage1 sites: {len(c1)} grid {g1}; stage2 sites: {len(c2)} "
+          f"grid {g2}; stage3 sites: {len(c3)} grid {g3}")
+    stage_coords += [c1, c2, c3]
+    grids += [g1, g2, g3]
+    chans = [(16, 16), (32, 32), (64, 64), (128, 128)]
 
     for si, (c, g, (ci, co)) in enumerate(zip(stage_coords, grids, chans)):
         print(f"--- stage{si} grid {g} sites {len(c)} C={ci}->{co}")
-        for tshape in [(4, 4, 4), (8, 8, 4), (8, 8, 8), (4, 4, 8),
+        for tshape in [(4, 4, 2), (4, 4, 4), (8, 8, 1), (8, 8, 2),
+                       (8, 8, 4), (8, 8, 8), (4, 4, 8),
                        (16, 16, 4), (8, 8, g[2]), (16, 16, g[2])]:
             tile_stats(c, g, tshape, ci, co, f"s{si}")
         zext_stats(c, g, 8, 8, f"s{si}")

@@ -49,8 +49,10 @@ def main():
         for s, C in ((0, 16), (1, 32), (2, 64), (3, 128)):
             if tbl is None:
                 tbl = sp.build_column_table(ids, grid)
-            nbr = sp.build_subm_rulebook(ids, grid, 3, table=tbl)
-            wrb = wg.build_windowed_rulebook(nbr, C, slack=slack, kz=3)
+            nbr = sp.build_subm_rulebook(ids, grid, 3, table=tbl,
+                                         offset_major=True)
+            wrb = wg.build_windowed_rulebook(nbr, C, slack=slack, kz=3,
+                                             offset_major=True)
             chk += jnp.sum(wrb.s8) + jnp.sum(wrb.sel[:, :, 0]).astype(jnp.float32)
             if s < 3:
                 og = sp.conv_out_shape(grid, 3, 2, 1)
@@ -58,16 +60,19 @@ def main():
                 out_ids, out_mask, out_tbl = sp.downsample_sites_bitfold(
                     tbl, grid, 3, 2, 1, cap_out)
                 cnbr = sp.build_conv_rulebook(ids, out_ids, grid, og, 3, 2, 1,
-                                              table=tbl)
+                                              table=tbl, offset_major=True)
                 swrb = wg.build_windowed_rulebook(cnbr, C, cap_in=cap,
-                                                  slack=4 * slack, kz=3)
+                                                  slack=4 * slack, kz=3,
+                                                  offset_major=True)
                 chk += jnp.sum(swrb.s8).astype(jnp.float32)
                 ids, grid, cap, tbl = out_ids, og, cap_out, out_tbl
         # conv_out
         og = sp.conv_out_shape(grid, (1, 1, 3), (1, 1, 2), 0)
         out_ids, _ = sp.downsample_sites(ids, grid, (1, 1, 3), (1, 1, 2), 0, cap)
-        cnbr = sp.build_conv_rulebook(ids, out_ids, grid, og, (1, 1, 3), (1, 1, 2), 0)
-        owrb = wg.build_windowed_rulebook(cnbr, 128, cap_in=cap, slack=4 * slack)
+        cnbr = sp.build_conv_rulebook(ids, out_ids, grid, og, (1, 1, 3),
+                                      (1, 1, 2), 0, offset_major=True)
+        owrb = wg.build_windowed_rulebook(cnbr, 128, cap_in=cap,
+                                          slack=4 * slack, offset_major=True)
         chk += jnp.sum(owrb.s8).astype(jnp.float32)
         return chk
 
