@@ -176,3 +176,23 @@ def test_data_parallel_matches_single_device():
                           capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stdout[-4000:] + "\n" + proc.stderr[-4000:]
     assert "PARALLEL_OK" in proc.stdout, proc.stdout
+
+
+@pytest.mark.slow
+def test_flagship_scale_sharded_train_step():
+    """Regenerates the MULTICHIP_FLAGSHIP evidence every slow-tier run
+    (VERDICT r4 item 8): the half-scale flagship train step — real
+    Swin-T, DepthLSS frustum, SparseEncoder channel widths/site caps —
+    compiles and executes one finite step under GSPMD batch sharding
+    over 2 virtual devices. Reference trains this model pure-DP
+    (mmdet3d/apis/train.py:48-53)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu"})
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "tools", "dryrun_flagship_sharded.py"),
+         "--devices", "2"],
+        env=env, capture_output=True, text=True, timeout=2400)
+    assert proc.returncode == 0, proc.stdout[-4000:] + "\n" + proc.stderr[-4000:]
+    assert "ok, loss/total=" in proc.stdout, proc.stdout

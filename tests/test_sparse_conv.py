@@ -247,21 +247,34 @@ def test_dense_path_matches_sparse_path():
                                rtol=1e-2, atol=3e-3)
 
 
-def test_downsample_bitfold_matches_sort_path():
+# each case compiles ~3 distinct-shape programs (~15 s CPU), so the
+# default tier keeps one representative per behavior class (standard
+# k3s2, the encoder's (1,1,3) conv_out geometry, heavy cap overflow)
+# and the remaining geometries/edge cases run in the slow tier
+_BITFOLD_CASES = {
+    "k3s2": ((32, 32, 41), 3, 2, 1, 2000, 4000),
+    "k3s2_b": ((16, 16, 21), 3, 2, 1, 800, 2000),
+    "k3s2_c": ((48, 48, 11), 3, 2, 1, 3000, 8000),
+    "z_conv_out": ((12, 12, 6), (1, 1, 3), (1, 1, 2), 0, 400, 900),
+    "very_sparse": ((8, 8, 41), 3, 2, 1, 5, 64),
+    "dense": ((6, 6, 8), 3, 2, 1, 6 * 6 * 8, 6 * 6 * 8),
+    "cap_overflow": ((32, 32, 41), 3, 2, 1, 4000, 512),
+    "heavy_overflow": ((16, 16, 21), 3, 2, 1, 1500, 100),
+}
+_BITFOLD_FAST = ("k3s2", "z_conv_out", "heavy_overflow")
+
+
+@pytest.mark.parametrize(
+    "case",
+    [c if c in _BITFOLD_FAST else pytest.param(c, marks=pytest.mark.slow)
+     for c in _BITFOLD_CASES])
+def test_downsample_bitfold_matches_sort_path(case):
     """Column-bitmask OR-fold downsample == candidate-sort downsample
     (ids, mask, and the derived output ColumnTable) across the conv
     geometries the encoder uses."""
     rng = np.random.RandomState(7)
-    cases = [
-        (sp.SparseGrid(32, 32, 41), 3, 2, 1, 2000, 4000),
-        (sp.SparseGrid(16, 16, 21), 3, 2, 1, 800, 2000),
-        (sp.SparseGrid(48, 48, 11), 3, 2, 1, 3000, 8000),
-        (sp.SparseGrid(12, 12, 6), (1, 1, 3), (1, 1, 2), 0, 400, 900),
-        (sp.SparseGrid(8, 8, 41), 3, 2, 1, 5, 64),        # very sparse
-        (sp.SparseGrid(6, 6, 8), 3, 2, 1, 6 * 6 * 8, 6 * 6 * 8),  # dense
-        (sp.SparseGrid(32, 32, 41), 3, 2, 1, 4000, 512),  # cap overflow
-        (sp.SparseGrid(16, 16, 21), 3, 2, 1, 1500, 100),  # heavy overflow
-    ]
+    g, k, s, p, nsites, cap_out = _BITFOLD_CASES[case]
+    cases = [(sp.SparseGrid(*g), k, s, p, nsites, cap_out)]
     for grid, k, s, p, nsites, cap_out in cases:
         assert sp.downsample_supported(grid, k, s, p)
         cap = max(nsites, 8)

@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--points", type=int, default=120000)
     ap.add_argument("--cpu", action="store_true",
                     help="CPU backend (debug only)")
+    ap.add_argument("--no-lut", action="store_true",
+                    help="in-graph geometry/sort pool instead of the "
+                         "differentiable calibration-LUT path")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -46,9 +49,12 @@ def main() -> None:
         TrainState, build_lr_schedule, build_optimizer, make_train_step,
     )
 
+    # pool_lut: training rides the differentiable calibration-LUT pool
+    # (custom VJP over the LUT's point->cell pairing) and skips the
+    # in-graph geometry/sort chain every step
     cfg, model, batch = build_flagship(
         batch_size=1, dtype=jnp.bfloat16, training=True,
-        num_points=args.points)
+        num_points=args.points, pool_lut=not args.no_lut)
 
     t0 = time.time()
     variables = jax.jit(

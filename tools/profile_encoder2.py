@@ -63,6 +63,7 @@ def main():
                                               table=tbl, offset_major=True)
                 swrb = wg.build_windowed_rulebook(cnbr, C, cap_in=cap,
                                                   slack=4 * slack, kz=3,
+                                                  blk=128,
                                                   offset_major=True)
                 chk += jnp.sum(swrb.s8).astype(jnp.float32)
                 ids, grid, cap, tbl = out_ids, og, cap_out, out_tbl
@@ -72,7 +73,8 @@ def main():
         cnbr = sp.build_conv_rulebook(ids, out_ids, grid, og, (1, 1, 3),
                                       (1, 1, 2), 0, offset_major=True)
         owrb = wg.build_windowed_rulebook(cnbr, 128, cap_in=cap,
-                                          slack=4 * slack, offset_major=True)
+                                          slack=4 * slack, blk=128,
+                                          offset_major=True)
         chk += jnp.sum(owrb.s8).astype(jnp.float32)
         return chk
 

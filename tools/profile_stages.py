@@ -26,7 +26,14 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--points", type=int, default=120000)
     ap.add_argument("--lidar", default="scan", choices=["scan", "uniform"])
+    ap.add_argument("--flops", action="store_true",
+                    help="also report per-stage XLA cost-analysis FLOPs, "
+                         "achieved TFLOP/s and MFU (vs the measured "
+                         "~70 TFLOP/s bf16 peak of this chip) — the "
+                         "reference's flops_counter equivalent "
+                         "(mmdet3d/models/utils/flops_counter.py)")
     args = ap.parse_args()
+    PEAK_TFLOPS = 70.0  # measured large-matmul bf16 rate (PERFORMANCE.md)
 
     import jax
     import jax.numpy as jnp
@@ -65,6 +72,12 @@ def main():
 
         out, chk = f(*fargs)          # compile
         float(np.asarray(chk))
+        fl = None
+        if args.flops:
+            cost = f.lower(*fargs).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            fl = float(cost.get("flops", 0.0)) if cost else 0.0
         for _ in range(3):            # warmup
             out, chk = f(*fargs)
         float(np.asarray(chk))
@@ -73,7 +86,7 @@ def main():
             out, chk = f(*fargs)
         float(np.asarray(chk))
         dt = (time.perf_counter() - t0) / iters * 1e3
-        rows.append((name, dt))
+        rows.append((name, dt, fl))
         print(f"{name:34s} {dt:8.2f} ms", flush=True)
         return out
 
@@ -182,11 +195,40 @@ def main():
                                 mutable=["batch_stats"])[0],
           preds)
 
-    total = sum(dt for _, dt in rows)
-    print("\n| stage | ms |\n|---|---|")
-    for name, dt in rows:
-        print(f"| {name} | {dt:.2f} |")
-    print(f"| **sum (stage-jitted)** | **{total:.2f}** |")
+    total = sum(dt for _, dt, _ in rows)
+    if args.flops:
+        tot_fl = sum(fl or 0.0 for _, _, fl in rows)
+        print("\n| stage | ms | GFLOP | TFLOP/s | MFU |\n"
+              "|---|---|---|---|---|")
+        for name, dt, fl in rows:
+            tfs = (fl or 0.0) / (dt * 1e-3) / 1e12
+            print(f"| {name} | {dt:.2f} | {(fl or 0) / 1e9:.1f} "
+                  f"| {tfs:.2f} | {tfs / PEAK_TFLOPS * 100:.1f}% |")
+        ttfs = tot_fl / (total * 1e-3) / 1e12
+        print(f"| **sum (stage-jitted)** | **{total:.2f}** | "
+              f"**{tot_fl / 1e9:.1f}** | **{ttfs:.2f}** | "
+              f"**{ttfs / PEAK_TFLOPS * 100:.1f}%** |")
+        import json
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "MFU_r05.json"), "w") as fh:
+            json.dump({
+                "peak_tflops_bf16_measured": PEAK_TFLOPS,
+                "stages": [{"stage": n, "ms": round(dt, 2),
+                            "gflop": round((fl or 0) / 1e9, 2),
+                            "tflops": round((fl or 0) / (dt * 1e-3) / 1e12, 3),
+                            "mfu_pct": round((fl or 0) / (dt * 1e-3) / 1e12
+                                             / PEAK_TFLOPS * 100, 2)}
+                           for n, dt, fl in rows],
+                "sum_ms": round(total, 2),
+                "sum_gflop": round(tot_fl / 1e9, 2),
+                "sum_mfu_pct": round(ttfs / PEAK_TFLOPS * 100, 2),
+            }, fh, indent=1)
+        print("wrote MFU_r05.json")
+    else:
+        print("\n| stage | ms |\n|---|---|")
+        for name, dt, _ in rows:
+            print(f"| {name} | {dt:.2f} |")
+        print(f"| **sum (stage-jitted)** | **{total:.2f}** |")
 
 
 if __name__ == "__main__":
